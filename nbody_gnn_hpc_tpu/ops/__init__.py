@@ -1,0 +1,13 @@
+"""TPU kernel & graph-op layer: Pallas pairwise forces, on-device k-NN,
+edge features, segment aggregation."""
+
+from nbody_gnn_hpc_tpu.ops.edges import aggregate_to_targets, edge_features
+from nbody_gnn_hpc_tpu.ops.knn import (edge_index_for,
+                                       fully_connected_edge_index,
+                                       knn_edge_index)
+from nbody_gnn_hpc_tpu.ops.pairwise import pallas_accelerations
+
+__all__ = [
+    "pallas_accelerations", "knn_edge_index", "fully_connected_edge_index",
+    "edge_index_for", "edge_features", "aggregate_to_targets",
+]

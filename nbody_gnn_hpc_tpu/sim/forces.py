@@ -1,0 +1,115 @@
+"""Softened-gravity force kernels (TPU-native).
+
+Semantics match the reference's Numba kernel ``compute_accelerations_direct``
+(``src/hpc/nbody.py:22-66``):
+
+    a_i = sum_{j != i}  G * m_j * (x_j - x_i) / (|x_j - x_i|^2 + eps^2)^{3/2}
+
+Design notes (TPU-first, not a translation):
+
+- The i==j term needs no explicit mask: with softening, dx = 0 gives a
+  finite factor times a zero displacement, contributing exactly 0 — matching
+  the reference's ``if i != j`` skip bit-for-bit in exact arithmetic.
+- Zero-mass padding rows contribute exactly 0 force to real particles, so
+  shapes can be padded to hardware tiles for free.
+- Small N (the N=200 production regime): one fused XLA broadcast kernel,
+  ``vmap``-batched over simulations — the entire 300-sim batch is one device
+  program.  The (N, N, 3) intermediate at N=200 is ~0.5 MB: XLA fuses it and
+  it never round-trips HBM per-element.
+- Large N (the reference's Barnes-Hut regime, N > ~2000): a tiled Pallas
+  kernel (:mod:`nbody_gnn_hpc_tpu.ops.pairwise`) that blocks the N x N
+  interaction matrix through VMEM so the O(N^2) intermediate is never
+  materialized.  Per SURVEY §2.2 the octree's pointer-chasing is TPU-hostile;
+  blocked all-pairs at N=10k is cheap on the VPU and replaces it.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# Physical constants — reference ``src/hpc/nbody.py:18-19``.
+G = 6.67430e-11
+SOFTENING = 1e-9
+
+# Above this particle count prefer the Pallas blocked kernel (the jnp
+# broadcast kernel materializes O(N^2 * 3) intermediates inside one fusion;
+# at N=4096 that's ~200 MB of virtual intermediate XLA may spill).
+PALLAS_MIN_N = 2048
+
+
+def pairwise_accelerations(positions: jnp.ndarray,
+                           masses: jnp.ndarray,
+                           softening: float = SOFTENING) -> jnp.ndarray:
+    """Direct O(N^2) accelerations, fused broadcast formulation.
+
+    Args:
+        positions: (..., N, 3)
+        masses:    (..., N)
+        softening: Plummer softening length.
+
+    Returns:
+        (..., N, 3) accelerations.
+    """
+    dtype = positions.dtype
+    # diff[..., i, j, :] = x_j - x_i  (reference nbody.py:47-49 sign convention)
+    diff = positions[..., None, :, :] - positions[..., :, None, :]
+    r2 = jnp.sum(diff * diff, axis=-1) + jnp.asarray(softening, dtype) ** 2
+    inv_r = jax.lax.rsqrt(r2)
+    inv_r3 = inv_r * inv_r * inv_r
+    # factor[..., i, j] = G * m_j / r^3
+    factor = jnp.asarray(G, dtype) * masses[..., None, :] * inv_r3
+    return jnp.einsum("...ij,...ijk->...ik", factor, diff)
+
+
+def blocked_accelerations(positions: jnp.ndarray,
+                          masses: jnp.ndarray,
+                          softening: float = SOFTENING,
+                          block: int = 1024) -> jnp.ndarray:
+    """Direct O(N^2) accelerations with j-axis blocking via ``lax.map``.
+
+    Pure-XLA fallback for large N on backends without Pallas (CPU tests):
+    peak intermediate is (block, N, 3) instead of (N, N, 3).
+    """
+    n = positions.shape[-2]
+    dtype = positions.dtype
+    soft2 = jnp.asarray(softening, dtype) ** 2
+    g = jnp.asarray(G, dtype)
+
+    pad = (-n) % block
+    pos_p = jnp.pad(positions, ((0, pad), (0, 0)))
+    n_blocks = pos_p.shape[0] // block
+    pos_b = pos_p.reshape(n_blocks, block, 3)
+
+    def one_block(pos_i):
+        # pos_i: (block, 3) receivers; all N particles are sources.
+        diff = positions[None, :, :] - pos_i[:, None, :]  # (block, N, 3)
+        r2 = jnp.sum(diff * diff, axis=-1) + soft2
+        inv_r = jax.lax.rsqrt(r2)
+        factor = g * masses[None, :] * inv_r * inv_r * inv_r
+        return jnp.einsum("ij,ijk->ik", factor, diff)
+
+    acc = jax.lax.map(one_block, pos_b).reshape(-1, 3)
+    return acc[:n]
+
+
+def accelerations(positions: jnp.ndarray,
+                  masses: jnp.ndarray,
+                  softening: float = SOFTENING) -> jnp.ndarray:
+    """Dispatching force kernel: broadcast XLA for small N, tiled Pallas (TPU)
+    or blocked XLA (other backends) for large N.
+
+    This subsumes the reference's direct/Barnes-Hut dispatch
+    (``nbody.py:193-200``): both regimes use exact all-pairs forces here, so
+    the large-N path is *more* accurate than the octree it replaces.
+    """
+    n = positions.shape[-2]
+    if n < PALLAS_MIN_N:
+        return pairwise_accelerations(positions, masses, softening)
+    if jax.default_backend() == "tpu" and positions.ndim == 2:
+        from nbody_gnn_hpc_tpu.ops.pairwise import pallas_accelerations
+
+        return pallas_accelerations(positions, masses, softening)
+    if positions.ndim == 2:
+        return blocked_accelerations(positions, masses, softening)
+    return jnp.stack(
+        [accelerations(p, m, softening) for p, m in zip(positions, masses)]
+    )
