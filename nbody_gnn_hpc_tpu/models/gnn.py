@@ -1,0 +1,155 @@
+"""N-body message-passing GNN (Flax).
+
+Architecture parity target: ``src/ai/model.py`` — the same computation graph
+and parameter count (2,550,150 at hidden 256 / 6 layers — METHODOLOGY.md:238):
+
+- node encoder Linear(7->H) -> LayerNorm -> SiLU -> Dropout -> Linear(H->H)
+  (``model.py:91-97``);
+- n_layers ParticleInteractionLayers with residual + LayerNorm
+  (``model.py:100-107,162-164``), each layer:
+  edge MLP Linear(2H+5->H) -> LN -> SiLU -> Dropout -> Linear(H->H) on
+  [h_target, h_source, edge_attr], sum-aggregated at the edge target, then
+  node MLP Linear(2H->H) -> LN -> SiLU -> Dropout -> Linear(H->H_node) on
+  [h, agg] (``model.py:38-65``);
+- decoder Linear(H->H) -> SiLU -> Dropout -> Linear(H->H/2) -> SiLU ->
+  Linear(H/2->6) with the FINAL layer zero-initialized so the untrained
+  model predicts delta == 0 (``model.py:111-122``);
+- output = current_state + delta (residual prediction, ``model.py:170``);
+- edge features computed ONCE from positions and shared by all layers
+  (``model.py:153-156``).
+
+TPU-first deviations from the PyG design: gather/scatter via take +
+``segment_sum`` over a static (2, E) edge array (no dynamic graph batching —
+every graph in this problem has the same N and edge set, so batching is a
+``vmap`` over a dense (B, N, F) axis instead of PyG's flattened Batch).
+"""
+
+from typing import Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nbody_gnn_hpc_tpu.ops.edges import aggregate_to_targets, edge_features
+
+EDGE_DIM = 5  # distance(1) + direction(3) + inv_dist_sq(1) — model.py:88
+
+
+class _MLPBlock(nn.Module):
+    """Linear -> LayerNorm -> SiLU -> Dropout -> Linear (the reference's
+    recurring Sequential motif, e.g. model.py:38-44)."""
+
+    hidden: int
+    out: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool):
+        x = nn.Dense(self.hidden)(x)
+        x = nn.LayerNorm()(x)
+        x = nn.silu(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return nn.Dense(self.out)(x)
+
+
+class ParticleInteractionLayer(nn.Module):
+    """Message-passing layer (parity: ``model.py:22-65``).
+
+    Message for edge (row -> col): edge_mlp([h[col], h[row], e]) — PyG's
+    (x_i, x_j) with i = target = edge_index[1]; sum-aggregated at targets;
+    node update node_mlp([h, agg]).
+    """
+
+    node_features: int
+    hidden_dim: int = 128
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, h, edge_index, edge_attr, deterministic: bool = True):
+        n_nodes = h.shape[0]
+        h_target = jnp.take(h, edge_index[1], axis=0)   # x_i
+        h_source = jnp.take(h, edge_index[0], axis=0)   # x_j
+        edge_in = jnp.concatenate([h_target, h_source, edge_attr], axis=-1)
+        messages = _MLPBlock(self.hidden_dim, self.hidden_dim, self.dropout,
+                             name="edge_mlp")(edge_in, deterministic)
+        agg = aggregate_to_targets(messages, edge_index, n_nodes)
+        node_in = jnp.concatenate([h, agg], axis=-1)
+        return _MLPBlock(self.hidden_dim, self.node_features, self.dropout,
+                         name="node_mlp")(node_in, deterministic)
+
+
+class NBodyGNN(nn.Module):
+    """GNN predicting the next state as current_state + delta
+    (parity: ``model.py:68-170``)."""
+
+    node_input_dim: int = 7    # pos(3) + vel(3) + mass(1)
+    hidden_dim: int = 128
+    n_layers: int = 3
+    output_dim: int = 6        # delta pos(3) + delta vel(3)
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, edge_index, pos=None, deterministic: bool = True):
+        """Args:
+            x: (N, node_input_dim) node features [norm_pos, norm_vel, norm_mass].
+            edge_index: (2, E) int32 [source row, target col].
+            pos: (N, 3) positions for edge features; defaults to x[:, :3]
+                 (reference model.py:153-156).
+            deterministic: disables dropout (eval mode).
+
+        Returns: (N, output_dim) predicted next state.
+        """
+        current_state = x[:, :6]
+        if pos is None:
+            pos = x[:, :3]
+        edge_attr = edge_features(pos, edge_index)  # once, shared by layers
+
+        h = _MLPBlock(self.hidden_dim, self.hidden_dim, self.dropout,
+                      name="node_encoder")(x, deterministic)
+
+        for i in range(self.n_layers):
+            h_new = ParticleInteractionLayer(
+                node_features=self.hidden_dim, hidden_dim=self.hidden_dim,
+                dropout=self.dropout, name=f"layer_{i}")(
+                    h, edge_index, edge_attr, deterministic)
+            h = nn.LayerNorm(name=f"norm_{i}")(h + h_new)
+
+        # Decoder (model.py:111-122) with zero-init final layer.
+        d = nn.Dense(self.hidden_dim, name="decoder_0")(h)
+        d = nn.silu(d)
+        d = nn.Dropout(self.dropout, deterministic=deterministic)(d)
+        d = nn.Dense(self.hidden_dim // 2, name="decoder_1")(d)
+        d = nn.silu(d)
+        delta = nn.Dense(self.output_dim, name="decoder_out",
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.zeros)(d)
+        return current_state + delta
+
+
+def init_model(model: NBodyGNN, rng, n_particles: int, n_edges: int):
+    """Initialize parameters with dummy shapes; returns the params pytree."""
+    x = jnp.zeros((n_particles, model.node_input_dim), jnp.float32)
+    e = jnp.zeros((2, n_edges), jnp.int32)
+    return model.init({"params": rng}, x, e, deterministic=True)["params"]
+
+
+def count_parameters(params) -> int:
+    return sum(p.size for p in jax.tree_util.tree_leaves(params))
+
+
+def forward_batch(model: NBodyGNN, params, x, edge_index, pos=None,
+                  deterministic: bool = True, dropout_rng=None):
+    """vmap the single-graph forward over a dense (B, N, F) batch with a
+    shared static edge set — the TPU-native replacement for PyG's flattened
+    Batch collation (``train.py:182-184``)."""
+    def single(xb, posb, rng):
+        rngs = {"dropout": rng} if rng is not None else None
+        return model.apply({"params": params}, xb, edge_index, posb,
+                           deterministic=deterministic, rngs=rngs)
+
+    if pos is None:
+        pos = x[..., :3]
+    if dropout_rng is not None:
+        rngs = jax.random.split(dropout_rng, x.shape[0])
+        return jax.vmap(single)(x, pos, rngs)
+    return jax.vmap(lambda xb, posb: single(xb, posb, None))(x, pos)

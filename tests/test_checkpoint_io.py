@@ -1,0 +1,175 @@
+"""Persistence layer: HDF5 schema parity, round-trips, windowed dataset
+semantics, model checkpoint round-trip."""
+
+import h5py
+import numpy as np
+import pytest
+
+from nbody_gnn_hpc_tpu.io import (CheckpointManager, create_training_dataset,
+                                  load_checkpoint, save_checkpoint)
+
+
+@pytest.fixture
+def manager(tmp_path):
+    return CheckpointManager(str(tmp_path / "ckpts"))
+
+
+def fake_state(rng, n=10, t=1.5, step=3):
+    return {
+        "positions": rng.rand(n, 3),
+        "velocities": rng.rand(n, 3),
+        "accelerations": rng.rand(n, 3),
+        "masses": rng.rand(n),
+        "time": t,
+        "step": step,
+    }
+
+
+def fake_trajectory_states(rng, n_steps=12, n=6):
+    return [fake_state(rng, n, t=0.001 * t, step=t) for t in range(n_steps)]
+
+
+def test_state_hdf5_roundtrip(manager, rng):
+    state = fake_state(rng)
+    path = manager.save_state(state, "s1", metadata={"note": "x", "cfg": {"a": 1}})
+    assert path.endswith("s1.h5")
+    loaded = manager.load_state("s1")
+    np.testing.assert_allclose(loaded["positions"], state["positions"])
+    assert loaded["time"] == state["time"]
+    assert loaded["metadata"]["cfg"] == {"a": 1}
+
+
+def test_state_npz_roundtrip(tmp_path, rng):
+    m = CheckpointManager(str(tmp_path), format="npz")
+    state = fake_state(rng)
+    path = m.save_state(state, "s1", metadata={"b": 2})
+    assert path.endswith("s1.npz")
+    loaded = m.load_state("s1")
+    np.testing.assert_allclose(loaded["velocities"], state["velocities"])
+    assert loaded["step"] == 3
+    assert loaded["metadata"] == {"b": 2}
+
+
+def test_trajectory_schema_matches_reference(manager, rng):
+    """Exact schema of checkpoint.py:187-236: float64 pos/vel/acc, times,
+    steps, masses datasets, n_steps attr, metadata group."""
+    states = fake_trajectory_states(rng)
+    path = manager.save_trajectory(states, "sim_0000",
+                                   metadata={"n_particles": 6, "seed": 42})
+    with h5py.File(path, "r") as f:
+        assert f.attrs["n_steps"] == 12
+        assert f["positions"].dtype == np.float64
+        assert f["positions"].shape == (12, 6, 3)
+        assert f["velocities"].dtype == np.float64
+        assert f["accelerations"].dtype == np.float64
+        assert set(f.keys()) >= {"positions", "velocities", "accelerations",
+                                 "times", "steps", "masses"}
+        assert f["metadata"].attrs["seed"] == 42
+        assert "created_at" in f.attrs
+
+
+def test_trajectory_roundtrip_and_exists(manager, rng):
+    states = fake_trajectory_states(rng)
+    assert not manager.trajectory_exists("sim_0001")
+    manager.save_trajectory(states, "sim_0001")
+    assert manager.trajectory_exists("sim_0001")
+    traj = manager.load_trajectory("sim_0001")
+    assert traj["n_steps"] == 12
+    np.testing.assert_allclose(traj["positions"][3], states[3]["positions"])
+    np.testing.assert_allclose(traj["masses"], states[0]["masses"])
+
+
+def test_save_trajectory_accepts_device_trajectory(manager, rng):
+    """Fast path: a stacked sim.Trajectory writes the identical schema."""
+    import jax.numpy as jnp
+
+    from nbody_gnn_hpc_tpu.sim import Trajectory
+
+    n_steps, n = 5, 4
+    traj = Trajectory(
+        positions=jnp.asarray(rng.rand(n_steps, n, 3), jnp.float32),
+        velocities=jnp.asarray(rng.rand(n_steps, n, 3), jnp.float32),
+        accelerations=jnp.asarray(rng.rand(n_steps, n, 3), jnp.float32),
+        masses=jnp.asarray(rng.rand(n), jnp.float32),
+        times=jnp.arange(n_steps, dtype=jnp.float32) * 0.001,
+        steps=jnp.arange(n_steps, dtype=jnp.int32),
+    )
+    path = manager.save_trajectory(traj, "sim_0002")
+    with h5py.File(path, "r") as f:
+        assert f["positions"].dtype == np.float64
+        assert f.attrs["n_steps"] == n_steps
+
+
+def test_list_and_delete(manager, rng):
+    manager.save_state(fake_state(rng), "a")
+    manager.save_trajectory(fake_trajectory_states(rng), "b")
+    listed = manager.list_checkpoints()
+    assert "a" in listed and "b (trajectory)" in listed
+    assert manager.delete_checkpoint("a")
+    assert not manager.delete_checkpoint("nonexistent")
+
+
+def test_load_missing_raises(manager):
+    with pytest.raises(FileNotFoundError):
+        manager.load_state("nope")
+    with pytest.raises(FileNotFoundError):
+        manager.load_trajectory("nope")
+
+
+def test_create_training_dataset_schema_and_windows(tmp_path, rng):
+    """Window semantics parity (checkpoint.py:365-387): S = n_steps - L
+    samples per trajectory at stride 1; input window [i, i+L), target i+L."""
+    n_steps, n, L = 20, 5, 4
+    trajs = []
+    for _ in range(3):
+        trajs.append({
+            "positions": rng.rand(n_steps, n, 3),
+            "velocities": rng.rand(n_steps, n, 3),
+            "n_steps": n_steps,
+        })
+    masses = rng.rand(n).astype(np.float32)
+    out = create_training_dataset(trajs, str(tmp_path / "ds.h5"),
+                                  sequence_length=L, stride=1, masses=masses)
+    with h5py.File(out, "r") as f:
+        S = 3 * (n_steps - L)
+        assert f.attrs["n_samples"] == S
+        assert f.attrs["sequence_length"] == L
+        assert f["inputs"].shape == (S, L, n, 6)
+        assert f["inputs"].dtype == np.float32
+        assert f["targets"].shape == (S, n, 6)
+        np.testing.assert_array_equal(f["masses"][:], masses)
+        # Check window content for trajectory 0, window 2.
+        want_in = np.concatenate([trajs[0]["positions"][2:2 + L],
+                                  trajs[0]["velocities"][2:2 + L]],
+                                 axis=-1).astype(np.float32)
+        np.testing.assert_array_equal(f["inputs"][2], want_in)
+        want_tgt = np.concatenate([trajs[0]["positions"][2 + L],
+                                   trajs[0]["velocities"][2 + L]],
+                                  axis=-1).astype(np.float32)
+        np.testing.assert_array_equal(f["targets"][2], want_tgt)
+
+
+def test_create_training_dataset_empty_raises(tmp_path, rng):
+    trajs = [{"positions": rng.rand(3, 4, 3), "velocities": rng.rand(3, 4, 3),
+              "n_steps": 3}]
+    with pytest.raises(ValueError):
+        create_training_dataset(trajs, str(tmp_path / "ds.h5"),
+                                sequence_length=10)
+
+
+def test_model_checkpoint_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    params = {"dense": {"kernel": jnp.ones((3, 3)), "bias": jnp.zeros(3)}}
+    norm = {"state_mean": np.zeros(6, np.float32),
+            "state_std": np.ones(6, np.float32)}
+    path = save_checkpoint(tmp_path / "best_model.pt", params=params,
+                           best_val_loss=1.25, history={"train_loss": [2, 1]},
+                           norm_stats=norm, model_config={"hidden_dim": 4})
+    ckpt = load_checkpoint(path)
+    np.testing.assert_array_equal(ckpt["model_state_dict"]["dense"]["kernel"],
+                                  np.ones((3, 3)))
+    assert ckpt["best_val_loss"] == 1.25
+    assert ckpt["model_config"]["hidden_dim"] == 4
+    np.testing.assert_array_equal(ckpt["norm_stats"]["state_std"], np.ones(6))
