@@ -34,3 +34,13 @@ __version__ = "0.1.0"
 from nbody_gnn_hpc_tpu.config import TrainingConfig
 
 __all__ = ["TrainingConfig", "__version__"]
+
+
+def __getattr__(name):
+    # Lazy subsystem access (keeps `import nbody_gnn_hpc_tpu` light).
+    import importlib
+
+    if name in ("sim", "ops", "models", "train", "predict", "parallel",
+                "io", "utils"):
+        return importlib.import_module(f"nbody_gnn_hpc_tpu.{name}")
+    raise AttributeError(name)

@@ -1,0 +1,16 @@
+"""Parallelism layer: device mesh, sharded ensemble datagen, data-parallel
+training (reference equivalent: mp.Pool fan-out, SURVEY §2.3)."""
+
+from nbody_gnn_hpc_tpu.parallel.datagen import (build_ensemble_state,
+                                                simulate_ensemble,
+                                                trajectory_slice)
+from nbody_gnn_hpc_tpu.parallel.mesh import (DATA_AXIS, batch_sharding,
+                                             make_mesh, pad_to_multiple,
+                                             replicated)
+from nbody_gnn_hpc_tpu.parallel.train_dp import make_dp_train_step
+
+__all__ = [
+    "DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
+    "pad_to_multiple", "simulate_ensemble", "build_ensemble_state",
+    "trajectory_slice", "make_dp_train_step",
+]

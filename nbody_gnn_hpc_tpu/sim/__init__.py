@@ -10,7 +10,9 @@ from nbody_gnn_hpc_tpu.sim.initial_conditions import (random_initial_conditions,
 from nbody_gnn_hpc_tpu.sim.integrator import (Trajectory, leapfrog_step,
                                               rollout_steps, run_trajectory,
                                               run_trajectory_batch)
-from nbody_gnn_hpc_tpu.sim.simulator import NBodySimulator, trajectory_to_states
+from nbody_gnn_hpc_tpu.sim.simulator import (NBodySimulator,
+                                             run_parallel_simulations,
+                                             trajectory_to_states)
 from nbody_gnn_hpc_tpu.sim.state import SimState, make_state
 
 
@@ -39,5 +41,5 @@ __all__ = [
     "kinetic_energy", "potential_energy", "total_energy", "total_momentum",
     "leapfrog_step", "run_trajectory", "run_trajectory_batch", "rollout_steps",
     "random_initial_conditions", "shared_masses", "make_state",
-    "trajectory_to_states",
+    "trajectory_to_states", "run_parallel_simulations",
 ]

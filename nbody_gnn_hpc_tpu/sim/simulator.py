@@ -276,6 +276,25 @@ class NBodySimulator:
         return sim
 
 
+def run_parallel_simulations(configs: list, n_workers: int = None) -> list:
+    """Run multiple simulations and return their state histories.
+
+    Reference-named surface (``nbody.py:340-362``) — the reference's version
+    is broken (it pickles a local closure into ``mp.Pool`` and would crash;
+    SURVEY §2 #25).  This one works: each config runs as a scan-compiled
+    device program sequentially (configs may be heterogeneous; homogeneous
+    ensembles should use :func:`nbody_gnn_hpc_tpu.parallel.simulate_ensemble`
+    which batches them into one sharded program).  ``n_workers`` is accepted
+    for signature parity; device programs don't use host workers.
+    """
+    del n_workers
+    results = []
+    for config in configs:
+        sim = NBodySimulator(**config.get("init", {}))
+        results.append(sim.run(**{"verbose": False, **config.get("run", {})}))
+    return results
+
+
 def trajectory_to_states(traj) -> list:
     """Convert a stacked Trajectory to the reference's list-of-state-dicts
     (``nbody.py:232-248``) for interop with persistence and scripts."""

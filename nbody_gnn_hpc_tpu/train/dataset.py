@@ -1,0 +1,148 @@
+"""GNN training dataset: windowed HDF5 -> device-resident tensors.
+
+Parity target: ``GNNDataset`` (``src/ai/train.py:30-179``) — same public
+surface (n_samples, n_particles, masses, normalization stats, precomputed
+static edge set, ``__getitem__`` normalization semantics,
+``get_normalization_stats``/``get_masses_tensor``) — with a TPU-first data
+path: instead of a fork-per-worker DataLoader re-reading HDF5 rows
+(``train.py:126-168``), the whole epoch's (last-state, target) pairs are
+loaded once and live in HBM (~1 GB at the production scale — SURVEY §7),
+so the train loop never touches the host.
+
+Deliberate fix vs the reference (SURVEY §7 quirks): normalization-stat and
+edge-averaging sample draws are SEEDED (the reference uses the unseeded
+global RNG at ``train.py:73,106``, making stats nondeterministic run-to-run;
+stats are carried in checkpoints so this only affects reproducibility).
+"""
+
+from typing import Dict, Optional
+
+import h5py
+import numpy as np
+
+from nbody_gnn_hpc_tpu.ops.knn import fully_connected_edge_index, knn_edge_index
+
+_STAT_SEED = 12345  # fixed draw for norm stats / edge averaging (see above)
+
+
+class GNNDataset:
+    """Reads the windowed HDF5 dataset (schema: ``checkpoint.py:345-395``).
+
+    Only the LAST state of each input window is used — this reproduces the
+    reference's learning problem exactly (``train.py:143``; the
+    ``sequence_length`` ctor arg is dead there too and kept for parity).
+    """
+
+    def __init__(self,
+                 data_path: str,
+                 sequence_length: int = 5,
+                 k_neighbors: Optional[int] = None,
+                 include_mass: bool = True,
+                 external_norm_stats: Optional[Dict[str, np.ndarray]] = None):
+        self.data_path = str(data_path)
+        self.sequence_length = sequence_length
+        self.k_neighbors = k_neighbors
+        self.include_mass = include_mass
+
+        with h5py.File(self.data_path, "r") as f:
+            self.n_samples = int(f.attrs["n_samples"])
+            self.n_particles = int(f["inputs"].shape[2])
+
+            if "masses" in f:
+                self.masses = f["masses"][:]
+            else:
+                # merge_dataset-produced files may omit masses; the reference
+                # silently falls back to ones (train.py:63) which degrades the
+                # physics loss — keep the fallback but warn loudly.
+                self.masses = np.ones(self.n_particles)
+                print("WARNING: dataset has no 'masses'; physics loss will "
+                      "use unit masses")
+
+            # Bulk-load last input states + targets (chunked reads — gzip
+            # chunks decompress whole rows anyway).
+            self.last_states = np.empty(
+                (self.n_samples, self.n_particles, 6), np.float32)
+            self.targets = np.empty(
+                (self.n_samples, self.n_particles, 6), np.float32)
+            chunk = 2048
+            for i in range(0, self.n_samples, chunk):
+                j = min(i + chunk, self.n_samples)
+                self.last_states[i:j] = f["inputs"][i:j, -1]
+                self.targets[i:j] = f["targets"][i:j]
+
+        rng = np.random.RandomState(_STAT_SEED)
+
+        if external_norm_stats is not None:
+            self.state_mean = np.asarray(external_norm_stats["state_mean"],
+                                         np.float32)
+            self.state_std = np.asarray(external_norm_stats["state_std"],
+                                        np.float32)
+            print("  Using external normalization stats")
+        else:
+            # Per-feature mean/std over <=500 random last-states
+            # (train.py:71-88), std clamped at 1e-6.
+            n_stat = min(500, self.n_samples)
+            idx = rng.choice(self.n_samples, n_stat, replace=False)
+            flat = self.last_states[np.sort(idx)].reshape(-1, 6)
+            self.state_mean = flat.mean(axis=0).astype(np.float32)
+            self.state_std = np.maximum(
+                flat.std(axis=0).astype(np.float32), 1e-6)
+
+        print(f"  Normalization stats — mean: {self.state_mean}, "
+              f"std: {self.state_std}")
+
+        # Static edge set (train.py:91-122): fully connected for small N /
+        # k=None, else k-NN from average positions of <=10 random samples.
+        if k_neighbors is None or k_neighbors >= self.n_particles - 1:
+            self.edge_index = fully_connected_edge_index(self.n_particles)
+            print(f"Using fully connected graph "
+                  f"({self.edge_index.shape[1]} edges)")
+        else:
+            print(f"Precomputing {k_neighbors}-NN edges...")
+            n_avg = min(10, self.n_samples)
+            idx = rng.choice(self.n_samples, n_avg, replace=False)
+            avg_positions = self.last_states[idx, :, :3].mean(axis=0)
+            self.edge_index = np.asarray(
+                knn_edge_index(avg_positions, k_neighbors))
+            print(f"  Created {self.edge_index.shape[1]} edges "
+                  f"(precomputed, reused for all samples)")
+
+        print(f"Dataset: {self.n_samples} samples, "
+              f"{self.n_particles} particles")
+
+    # -- reference item surface ---------------------------------------------
+
+    def __len__(self) -> int:
+        return self.n_samples
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        """Normalized sample (parity: ``train.py:140-168``): x = [norm_pos,
+        norm_vel, mass/mean(mass)], pos = norm_pos, y = normalized target.
+        Returned as a dict of numpy arrays (no torch/PyG)."""
+        last = self.last_states[idx]
+        norm = (last - self.state_mean) / self.state_std
+        if self.include_mass:
+            norm_mass = (self.masses / self.masses.mean()).reshape(-1, 1)
+            x = np.concatenate([norm, norm_mass.astype(np.float32)], axis=1)
+        else:
+            x = norm
+        y = (self.targets[idx] - self.state_mean) / self.state_std
+        return {"x": x.astype(np.float32), "pos": norm[:, :3].copy(),
+                "edge_index": self.edge_index, "y": y.astype(np.float32)}
+
+    def get_normalization_stats(self) -> Dict[str, np.ndarray]:
+        return {"state_mean": self.state_mean, "state_std": self.state_std}
+
+    def get_masses_tensor(self) -> np.ndarray:
+        """Masses as float32 array (name kept from train.py:177-179)."""
+        return np.asarray(self.masses, np.float32)
+
+    # -- TPU bulk path -------------------------------------------------------
+
+    def device_arrays(self):
+        """(last_states, targets) as device arrays — RAW (unnormalized)
+        float32; normalization/noise happen inside the jitted train step so
+        the stats stay fusable with the forward pass."""
+        import jax.numpy as jnp
+
+        return jnp.asarray(self.last_states), jnp.asarray(self.targets)

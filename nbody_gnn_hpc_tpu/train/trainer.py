@@ -1,0 +1,332 @@
+"""Training manager: scan-compiled epochs, optax AdamW + warm restarts.
+
+Parity target: ``Trainer`` (``src/ai/train.py:282-567``) — same hyper-
+parameters, loss, LR schedule (epoch-stepped cosine warm restarts), gradient
+clipping (global norm 1.0), input-noise injection with pos resync
+(``train.py:409-415``), early stopping, checkpoint cadence
+(best-on-improvement / every ``save_every`` epochs / final —
+``train.py:519-533``), history JSON with the same keys.
+
+TPU-first deviations:
+- the epoch is ONE jitted device program (``lax.scan`` over batches) over
+  HBM-resident data — no DataLoader workers, no per-batch host->device copy
+  (the reference crosses that boundary 3,910 times per epoch, SURVEY §3.3);
+- batches are ``batch_size``-sized with the remainder dropped (static shapes;
+  at the production scale that discards <0.03% of samples per epoch — the
+  permutation reshuffles every epoch so all samples are seen over time);
+- train/val loss semantics preserved: train loss is dropout-ON (reference
+  documents train >> val for this loss — METHODOLOGY.md:381-390).
+"""
+
+import json
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from nbody_gnn_hpc_tpu.io.model_io import load_checkpoint, save_checkpoint
+from nbody_gnn_hpc_tpu.models.gnn import NBodyGNN, forward_batch, init_model
+from nbody_gnn_hpc_tpu.train.loss import PhysicsInformedLoss, mse_loss
+from nbody_gnn_hpc_tpu.train.schedule import (cosine_warm_restarts,
+                                              make_step_schedule)
+
+
+class Trainer:
+    """Training manager for the N-body GNN (reference surface:
+    ``train.py:282``)."""
+
+    def __init__(self,
+                 model: NBodyGNN,
+                 train_dataset,
+                 val_dataset=None,
+                 model_dir: str = "./models",
+                 device: Optional[str] = None,   # parity arg; backend is JAX's
+                 learning_rate: float = 5e-4,
+                 batch_size: int = 24,
+                 use_physics_loss: bool = True,
+                 num_workers: int = 2,           # parity arg; no host workers
+                 weight_decay: float = 1e-4,
+                 noise_std: float = 0.003,
+                 n_epochs: int = 200,
+                 seed: int = 0):
+        del device, num_workers
+        self.model = model
+        self.model_dir = Path(model_dir)
+        self.model_dir.mkdir(parents=True, exist_ok=True)
+        self.batch_size = batch_size
+        self.learning_rate = learning_rate
+        self.noise_std = noise_std
+        self.use_physics_loss = use_physics_loss
+        self.n_epochs = n_epochs
+
+        # -- data to device --------------------------------------------------
+        self.train_states, self.train_targets = train_dataset.device_arrays()
+        self.n_train = int(self.train_states.shape[0])
+        self.n_particles = int(self.train_states.shape[1])
+        if val_dataset is not None:
+            self.val_states, self.val_targets = val_dataset.device_arrays()
+            self.n_val = int(self.val_states.shape[0])
+        else:
+            self.val_states = self.val_targets = None
+            self.n_val = 0
+
+        self.edge_index = jnp.asarray(train_dataset.edge_index)
+
+        if hasattr(train_dataset, "get_masses_tensor"):
+            self.masses = jnp.asarray(train_dataset.get_masses_tensor())
+        else:
+            self.masses = None
+        if hasattr(train_dataset, "get_normalization_stats"):
+            self.norm_stats = train_dataset.get_normalization_stats()
+        else:
+            self.norm_stats = None
+
+        mean = jnp.asarray(self.norm_stats["state_mean"]) if self.norm_stats \
+            else jnp.zeros(6, jnp.float32)
+        std = jnp.asarray(self.norm_stats["state_std"]) if self.norm_stats \
+            else jnp.ones(6, jnp.float32)
+        self._mean, self._std = mean, std
+        if self.masses is not None:
+            self._mass_feat = (self.masses / self.masses.mean())[:, None]
+        else:
+            self._mass_feat = jnp.ones((self.n_particles, 1), jnp.float32)
+
+        # -- loss / optimizer -------------------------------------------------
+        self.criterion = PhysicsInformedLoss() if use_physics_loss else None
+
+        self._batch = min(batch_size, self.n_train)
+        self.steps_per_epoch = max(1, self.n_train // self._batch)
+        schedule = make_step_schedule(learning_rate, self.steps_per_epoch)
+        self._schedule = schedule
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(1.0),  # train.py:429
+            optax.adamw(schedule, weight_decay=weight_decay),
+        )
+
+        self._rng = jax.random.PRNGKey(seed)
+        self._rng, init_key = jax.random.split(self._rng)
+        self.params = init_model(model, init_key, self.n_particles,
+                                 int(self.edge_index.shape[1]))
+        self.opt_state = self.tx.init(self.params)
+
+        self.history = {"train_loss": [], "val_loss": [], "learning_rate": [],
+                        "energy_loss": [], "momentum_loss": []}
+        self.best_val_loss = float("inf")
+        self.current_epoch = 0
+
+        self._epoch_fn = self._build_epoch_fn()
+        self._val_fn = self._build_val_fn()
+
+    # -- jitted programs ------------------------------------------------------
+
+    def _loss_of(self, pred, target):
+        if self.criterion is not None:
+            return self.criterion(pred, target, self.masses)
+        total = mse_loss(pred, target)
+        zero = jnp.asarray(0.0, pred.dtype)
+        return total, {"total": total, "position": zero, "velocity": zero,
+                       "energy": zero, "momentum": zero}
+
+    def _build_epoch_fn(self):
+        model, edge_index = self.model, self.edge_index
+        mean, std, mass_feat = self._mean, self._std, self._mass_feat
+        noise_std = self.noise_std
+        batch, n_batches = self._batch, self.steps_per_epoch
+        states, targets = self.train_states, self.train_targets
+        tx = self.tx
+
+        def train_step(carry, batch_idx):
+            params, opt_state, key = carry
+            key, k_noise, k_drop = jax.random.split(key, 3)
+
+            s = jnp.take(states, batch_idx, axis=0)      # (B, N, 6) raw
+            t = jnp.take(targets, batch_idx, axis=0)
+            s_norm = (s - mean) / std
+            t_norm = (t - mean) / std
+
+            # Input-noise injection on the 6 state features, pos resynced to
+            # the noised positions (train.py:409-415).
+            if noise_std > 0:
+                s_norm = s_norm + noise_std * jax.random.normal(
+                    k_noise, s_norm.shape, s_norm.dtype)
+            pos = s_norm[..., :3]
+            x = jnp.concatenate(
+                [s_norm, jnp.broadcast_to(mass_feat, s.shape[:2] + (1,))],
+                axis=-1)
+
+            def loss_fn(p):
+                pred = forward_batch(model, p, x, edge_index, pos,
+                                     deterministic=False, dropout_rng=k_drop)
+                total, _ = self._loss_of(pred, t_norm)
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        @jax.jit
+        def epoch_fn(params, opt_state, key):
+            key, k_perm = jax.random.split(key)
+            perm = jax.random.permutation(k_perm, states.shape[0])
+            batch_ids = perm[:n_batches * batch].reshape(n_batches, batch)
+            (params, opt_state, key), losses = jax.lax.scan(
+                train_step, (params, opt_state, key), batch_ids)
+            return params, opt_state, key, jnp.mean(losses)
+
+        return epoch_fn
+
+    def _build_val_fn(self):
+        if self.val_states is None:
+            return None
+        model, edge_index = self.model, self.edge_index
+        mean, std, mass_feat = self._mean, self._std, self._mass_feat
+        batch = min(self._batch, self.n_val)
+        n_batches = max(1, self.n_val // batch)
+        states, targets = self.val_states, self.val_targets
+
+        def val_step_p(params, batch_idx):
+            s = jnp.take(states, batch_idx, axis=0)
+            t = jnp.take(targets, batch_idx, axis=0)
+            s_norm = (s - mean) / std
+            t_norm = (t - mean) / std
+            pos = s_norm[..., :3]
+            x = jnp.concatenate(
+                [s_norm, jnp.broadcast_to(mass_feat, s.shape[:2] + (1,))],
+                axis=-1)
+            pred = forward_batch(model, params, x, edge_index, pos,
+                                 deterministic=True)
+            _, details = self._loss_of(pred, t_norm)
+            return details
+
+        @jax.jit
+        def val_fn(params):
+            ids = jnp.arange(n_batches * batch).reshape(n_batches, batch)
+            _, details = jax.lax.scan(
+                lambda c, b: (c, val_step_p(params, b)), None, ids)
+            return jax.tree_util.tree_map(jnp.mean, details)
+
+        return val_fn
+
+    # -- reference surface -----------------------------------------------------
+
+    def train_epoch(self) -> float:
+        """One epoch (parity: ``train.py:396-435``); returns mean train loss."""
+        self.params, self.opt_state, self._rng, loss = self._epoch_fn(
+            self.params, self.opt_state, self._rng)
+        return float(loss)
+
+    def validate(self):
+        """(val_loss, details) with dropout off (parity: ``train.py:437-467``)."""
+        if self._val_fn is None:
+            return float("nan"), {}
+        details = self._val_fn(self.params)
+        details = {k: float(v) for k, v in details.items()}
+        return details.get("total", float("nan")), details
+
+    def current_lr(self) -> float:
+        return float(cosine_warm_restarts(self.current_epoch - 1
+                                          if self.current_epoch > 0 else 0,
+                                          self.learning_rate))
+
+    def train(self, n_epochs: int = 50, early_stopping_patience: int = 30,
+              save_every: int = 10, verbose: bool = True) -> Dict:
+        """Full training loop with early stopping (parity: ``train.py:469-535``)."""
+        from nbody_gnn_hpc_tpu.models.gnn import count_parameters
+
+        print(f"Training on {jax.default_backend()}")
+        print(f"Model parameters: {count_parameters(self.params):,}")
+        if self.masses is not None and self.use_physics_loss:
+            print(f"Physics loss: ENABLED (masses loaded for "
+                  f"{self.masses.shape[0]} particles)")
+        else:
+            print("Physics loss: DISABLED (no masses)")
+        print(f"Input noise std: {self.noise_std}")
+
+        patience_counter = 0
+        for epoch in range(n_epochs):
+            self.current_epoch = epoch + 1
+            # LR in effect this epoch (scheduler stepped at epoch end in the
+            # reference, so epoch e runs at lr(e), 0-indexed).
+            current_lr = float(cosine_warm_restarts(epoch, self.learning_rate))
+
+            train_loss = self.train_epoch()
+            self.history["train_loss"].append(train_loss)
+
+            val_loss, val_details = self.validate()
+            self.history["val_loss"].append(val_loss)
+            self.history["learning_rate"].append(current_lr)
+            self.history["energy_loss"].append(val_details.get("energy", 0))
+            self.history["momentum_loss"].append(val_details.get("momentum", 0))
+
+            if verbose:
+                best_marker = " ★ BEST" if val_loss < self.best_val_loss else ""
+                print(f"  Epoch {self.current_epoch:3d} | "
+                      f"train: {train_loss:.4f} | val: {val_loss:.4f} | "
+                      f"E: {val_details.get('energy', 0):.4f} | "
+                      f"M: {val_details.get('momentum', 0):.4f} | "
+                      f"lr: {current_lr:.2e}{best_marker}")
+
+            if val_loss < self.best_val_loss:
+                self.best_val_loss = val_loss
+                self.save_model("best_model.pt")
+                patience_counter = 0
+            else:
+                patience_counter += 1
+
+            if patience_counter >= early_stopping_patience:
+                print(f"\nEarly stopping at epoch {epoch + 1}")
+                break
+
+            if (epoch + 1) % save_every == 0:
+                self.save_model(f"checkpoint_epoch_{epoch + 1}.pt")
+
+        self.save_model("final_model.pt")
+        self._save_history()
+        return self.history
+
+    # -- checkpoints (parity: train.py:537-567) --------------------------------
+
+    def save_model(self, filename: str) -> str:
+        return save_checkpoint(
+            self.model_dir / filename,
+            params=self.params,
+            opt_state=self.opt_state,
+            scheduler_state=dict(epoch=self.current_epoch),
+            best_val_loss=self.best_val_loss,
+            history=self.history,
+            norm_stats=self.norm_stats,
+            model_config={
+                "node_input_dim": self.model.node_input_dim,
+                "hidden_dim": self.model.hidden_dim,
+                "n_layers": self.model.n_layers,
+                "output_dim": self.model.output_dim,
+                "dropout": self.model.dropout,
+            },
+        )
+
+    def load_model(self, filename: str) -> None:
+        ckpt = load_checkpoint(self.model_dir / filename)
+        self.params = jax.tree_util.tree_map(jnp.asarray,
+                                             ckpt["model_state_dict"])
+        if ckpt.get("optimizer_state_dict") is not None:
+            # Restore leaf values into the freshly-initialized optax state
+            # structure (pickle stores numpy leaves of the same pytree).
+            flat_saved = jax.tree_util.tree_leaves(ckpt["optimizer_state_dict"])
+            treedef = jax.tree_util.tree_structure(self.opt_state)
+            self.opt_state = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(x) for x in flat_saved])
+        self.best_val_loss = ckpt.get("best_val_loss", float("inf"))
+        if ckpt.get("history"):
+            self.history = ckpt["history"]
+        if ckpt.get("norm_stats") is not None:
+            self.norm_stats = ckpt["norm_stats"]
+        sched = ckpt.get("scheduler_state_dict") or {}
+        self.current_epoch = int(sched.get("epoch", 0))
+
+    def _save_history(self) -> None:
+        with open(self.model_dir / "training_history.json", "w") as f:
+            json.dump(self.history, f, indent=2)

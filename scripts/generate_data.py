@@ -1,0 +1,157 @@
+#!/usr/bin/env python3
+"""Generate training data for the N-body GNN (TPU-native).
+
+CLI parity: reference ``scripts/generate_data.py`` — same flags, seeds
+(shared masses from --seed, per-sim seeds seed+i), dt hardcoded to 0.001,
+resumable via existing trajectory files, 80/20 train/val split.
+
+TPU redesign: instead of a process pool running one Numba sim per worker
+(reference :143-147), each batch of simulations integrates as ONE sharded
+device program (vmap over sims, mesh over chips) — the thread-pinning env
+guards the reference needs (:16-19) have no equivalent here.
+
+Usage:
+    python scripts/generate_data.py --particles 200 --simulations 300 --steps 400
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from nbody_gnn_hpc_tpu.io import CheckpointManager, create_training_dataset
+from nbody_gnn_hpc_tpu.parallel import simulate_ensemble, trajectory_slice
+from nbody_gnn_hpc_tpu.sim import shared_masses as make_shared_masses
+from nbody_gnn_hpc_tpu.utils import StageTimer
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Generate N-body training data")
+    parser.add_argument("--particles", "-n", type=int, default=500,
+                        help="Number of particles per simulation")
+    parser.add_argument("--simulations", "-s", type=int, default=50,
+                        help="Number of simulations to run")
+    parser.add_argument("--steps", type=int, default=200,
+                        help="Timesteps per simulation")
+    parser.add_argument("--save-interval", type=int, default=1,
+                        help="Save state every N steps")
+    parser.add_argument("--box-size", type=float, default=10.0,
+                        help="Simulation box size")
+    parser.add_argument("--workers", "-w", type=int, default=None,
+                        help="(parity flag; sims run on-device, not in workers)")
+    parser.add_argument("--output-dir", "-o", type=str, default="./data",
+                        help="Output directory")
+    parser.add_argument("--sequence-length", type=int, default=5,
+                        help="Sequence length for training samples")
+    parser.add_argument("--seed", type=int, default=42,
+                        help="Random seed base")
+    parser.add_argument("--batch-size", type=int, default=100,
+                        help="Simulations per device batch (memory control)")
+    args = parser.parse_args()
+
+    output_dir = Path(args.output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    checkpoint_dir = output_dir / "checkpoints"
+    checkpoint_dir.mkdir(exist_ok=True)
+
+    import jax
+
+    print("=" * 60)
+    print("N-BODY DATA GENERATION (TPU)")
+    print("=" * 60)
+    print(f"  Particles:     {args.particles}")
+    print(f"  Simulations:   {args.simulations}")
+    print(f"  Steps:         {args.steps}")
+    print(f"  Devices:       {len(jax.devices())} ({jax.default_backend()})")
+    print(f"  Output Dir:    {output_dir}")
+    print("=" * 60)
+
+    manager = CheckpointManager(str(checkpoint_dir))
+    timer = StageTimer()
+
+    # Shared masses: all sims use the same particle masses so the physics
+    # loss is exact (reference generate_data.py:106-110).
+    shared_masses = make_shared_masses(args.particles, seed=args.seed)
+    print(f"  Shared masses: range [{shared_masses.min():.2e}, "
+          f"{shared_masses.max():.2e}]")
+
+    all_trajectories = []
+    n_batches = -(-args.simulations // args.batch_size)
+    print(f"\nProcessing {args.simulations} simulations in {n_batches} "
+          f"batches...")
+
+    for batch_idx in range(n_batches):
+        start = batch_idx * args.batch_size
+        end = min(start + args.batch_size, args.simulations)
+        print(f"\n--- Batch {batch_idx + 1}/{n_batches} "
+              f"(sims {start}-{end - 1}) ---")
+
+        todo, skipped = [], 0
+        for i in range(start, end):
+            if manager.trajectory_exists(f"sim_{i:04d}"):
+                skipped += 1
+            else:
+                todo.append(i)
+
+        if todo:
+            print(f"  Running {len(todo)} sims (skipped {skipped})...")
+            with timer.stage("simulate"):
+                traj = simulate_ensemble(
+                    seeds=[args.seed + i for i in todo],
+                    n_particles=args.particles,
+                    n_steps=args.steps,
+                    box_size=args.box_size,
+                    dt=0.001,  # pipeline value (reference hardcodes it too)
+                    save_interval=args.save_interval,
+                    shared_masses=shared_masses)
+                traj = jax.device_get(traj)
+            with timer.stage("save"):
+                for j, sim_idx in enumerate(todo):
+                    manager.save_trajectory(
+                        trajectory_slice(traj, j), f"sim_{sim_idx:04d}",
+                        metadata={"n_particles": args.particles,
+                                  "seed": args.seed + sim_idx})
+        else:
+            print(f"  Already complete (skipped {skipped})")
+
+        # Collect (from disk when resumed) for dataset creation.
+        with timer.stage("load"):
+            for i in range(start, end):
+                t = manager.load_trajectory(f"sim_{i:04d}")
+                all_trajectories.append({
+                    "positions": t["positions"],
+                    "velocities": t["velocities"],
+                    "masses": t["masses"],
+                    "n_steps": t["n_steps"],
+                })
+
+    print(f"\nGenerated {len(all_trajectories)} trajectories")
+    print("\nCreating training datasets...")
+
+    n_train = int(0.8 * len(all_trajectories))
+    masses = all_trajectories[0].get("masses")
+
+    with timer.stage("dataset"):
+        create_training_dataset(all_trajectories[:n_train],
+                                str(output_dir / "train_dataset.h5"),
+                                sequence_length=args.sequence_length,
+                                stride=1, masses=masses)
+        create_training_dataset(all_trajectories[n_train:],
+                                str(output_dir / "val_dataset.h5"),
+                                sequence_length=args.sequence_length,
+                                stride=1, masses=masses)
+
+    print("\n" + "=" * 60)
+    print("DATA GENERATION COMPLETE")
+    print("=" * 60)
+    print(f"  Train dataset: {output_dir / 'train_dataset.h5'}")
+    print(f"  Val dataset:   {output_dir / 'val_dataset.h5'}")
+    print(timer.report())
+    print("=" * 60)
+
+
+if __name__ == "__main__":
+    main()

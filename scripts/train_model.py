@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""Train the GNN model for N-body prediction (TPU-native).
+
+CLI parity: reference ``scripts/train_model.py`` — same flags, config
+override pattern, ``models/config.json`` persisted for evaluation, val set
+using the train set's normalization stats.
+
+Usage:
+    python scripts/train_model.py --epochs 200
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+from nbody_gnn_hpc_tpu.config import TrainingConfig
+from nbody_gnn_hpc_tpu.models import NBodyGNN, count_parameters, init_model
+from nbody_gnn_hpc_tpu.train import GNNDataset, Trainer
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train N-Body GNN Model")
+    parser.add_argument("--epochs", "-e", type=int, default=None)
+    parser.add_argument("--batch-size", "-b", type=int, default=None)
+    parser.add_argument("--learning-rate", "-lr", type=float, default=None)
+    parser.add_argument("--hidden-dim", type=int, default=None)
+    parser.add_argument("--n-layers", type=int, default=None)
+    parser.add_argument("--data-dir", "-d", type=str, default="./data")
+    parser.add_argument("--model-dir", "-o", type=str, default="./models")
+    parser.add_argument("--early-stopping", type=int, default=None)
+    parser.add_argument("--physics-loss", action="store_true", default=True)
+    parser.add_argument("--workers", "-w", type=int, default=None)
+    parser.add_argument("--max-samples", type=int, default=None,
+                        help="Limit training samples (default: use all)")
+    parser.add_argument("--dropout", type=float, default=None)
+    parser.add_argument("--noise-std", type=float, default=None)
+    parser.add_argument("--weight-decay", type=float, default=None)
+    parser.add_argument("--k-neighbors", type=int, default=None)
+    args = parser.parse_args()
+
+    config = TrainingConfig()
+    for name in ("batch_size", "epochs", "learning_rate", "hidden_dim",
+                 "n_layers", "early_stopping", "workers", "dropout",
+                 "noise_std", "weight_decay", "k_neighbors"):
+        val = getattr(args, name, None)
+        if val is not None:
+            setattr(config, name, val)
+
+    device = config.get_device()
+    data_dir = Path(args.data_dir)
+    model_dir = Path(args.model_dir)
+    model_dir.mkdir(parents=True, exist_ok=True)
+
+    train_path = data_dir / "train_dataset.h5"
+    val_path = data_dir / "val_dataset.h5"
+    if not train_path.exists():
+        print(f"Error: Training data not found at {train_path}")
+        print("Run generate_data.py first!")
+        sys.exit(1)
+
+    print("=" * 60)
+    print("N-BODY GNN TRAINING (TPU)")
+    print("=" * 60)
+    for label, v in (("Device", device), ("Epochs", config.epochs),
+                     ("Batch Size", config.batch_size),
+                     ("Learning Rate", config.learning_rate),
+                     ("Hidden Dim", config.hidden_dim),
+                     ("Layers", config.n_layers),
+                     ("k-Neighbors", config.k_neighbors),
+                     ("Dropout", config.dropout),
+                     ("Weight Decay", config.weight_decay),
+                     ("Noise Std", config.noise_std),
+                     ("Physics Loss", args.physics_loss)):
+        print(f"  {label + ':':<16} {v}")
+    print("=" * 60)
+
+    print("\nLoading datasets...")
+    train_dataset = GNNDataset(str(train_path),
+                               sequence_length=config.sequence_length,
+                               k_neighbors=config.k_neighbors)
+    val_dataset = GNNDataset(
+        str(val_path), sequence_length=config.sequence_length,
+        k_neighbors=config.k_neighbors,
+        external_norm_stats=train_dataset.get_normalization_stats()
+    ) if val_path.exists() else None
+
+    if args.max_samples and len(train_dataset) > args.max_samples:
+        print(f"Subsampling: {len(train_dataset)} -> {args.max_samples}")
+        train_dataset.last_states = train_dataset.last_states[:args.max_samples]
+        train_dataset.targets = train_dataset.targets[:args.max_samples]
+        train_dataset.n_samples = args.max_samples
+
+    model_config = {
+        "node_input_dim": 7,
+        "hidden_dim": config.hidden_dim,
+        "n_layers": config.n_layers,
+        "output_dim": 6,
+        "dropout": config.dropout,
+    }
+
+    print(f"\n  Train samples: {len(train_dataset)}")
+    if val_dataset:
+        print(f"  Val samples:   {len(val_dataset)}")
+
+    model = NBodyGNN(**model_config)
+
+    # Persist config for evaluate.py (reference train_model.py:125-131).
+    saved_config = {
+        "model_type": "gnn",
+        "model_config": model_config,
+        "training_config": config.to_dict(),
+    }
+    with open(model_dir / "config.json", "w") as f:
+        json.dump(saved_config, f, indent=2, default=str)
+
+    trainer = Trainer(
+        model=model,
+        train_dataset=train_dataset,
+        val_dataset=val_dataset,
+        model_dir=str(model_dir),
+        learning_rate=config.learning_rate,
+        batch_size=config.batch_size,
+        use_physics_loss=args.physics_loss,
+        num_workers=config.workers,
+        weight_decay=config.weight_decay,
+        noise_std=config.noise_std,
+        n_epochs=config.epochs,
+    )
+    print(f"  Parameters:    {count_parameters(trainer.params):,}")
+
+    print("\nStarting training...")
+    history = trainer.train(n_epochs=config.epochs,
+                            early_stopping_patience=config.early_stopping,
+                            save_every=10)
+
+    print("\n" + "=" * 60)
+    print("TRAINING COMPLETE")
+    print("=" * 60)
+    print(f"  Best Val Loss:    {trainer.best_val_loss:.6f}")
+    print(f"  Final Train Loss: {history['train_loss'][-1]:.6f}")
+    print(f"  Model saved to:   {model_dir}")
+    print("=" * 60)
+
+    try:
+        from nbody_gnn_hpc_tpu.utils import Visualizer
+
+        viz = Visualizer(str(model_dir / "plots"))
+        viz.plot_training_history(history, save_name="training_history.png",
+                                  show=False)
+        print(f"  Training plot:    "
+              f"{model_dir / 'plots' / 'training_history.png'}")
+    except Exception as e:  # plotting is best-effort (reference :165-171)
+        print(f"  (Could not create plot: {e})")
+
+
+if __name__ == "__main__":
+    main()

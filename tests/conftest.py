@@ -1,17 +1,26 @@
 """Test configuration: force CPU backend with 8 virtual devices.
 
-Multi-device sharding tests run on a virtual CPU mesh (SURVEY §4) —
-``xla_force_host_platform_device_count=8`` — since real multi-chip hardware
-is not available in CI.  Must run before jax is imported anywhere.
+Multi-device sharding tests run on a virtual CPU mesh (SURVEY §4) via
+``xla_force_host_platform_device_count=8`` — real multi-chip hardware is not
+available in CI.
+
+Environment wrinkle: this machine's ``sitecustomize`` registers a remote-TPU
+PJRT plugin at interpreter startup and programmatically selects
+``jax_platforms="axon,cpu"`` — which overrides the ``JAX_PLATFORMS`` env
+var.  ``jax.config.update`` after import wins over both, so we flip the
+config back to pure CPU here (before any test imports jax-heavy modules).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,174 @@
+"""GNNDataset + Trainer: normalization semantics, edge policy, tiny training
+runs (loss decreases, early stopping, checkpoint cadence, resume)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from nbody_gnn_hpc_tpu.io import create_training_dataset, load_checkpoint
+from nbody_gnn_hpc_tpu.models import NBodyGNN
+from nbody_gnn_hpc_tpu.train import GNNDataset, Trainer
+
+
+@pytest.fixture(scope="module")
+def dataset_paths(tmp_path_factory):
+    """Two small windowed datasets (train/val) from synthetic trajectories."""
+    tmp = tmp_path_factory.mktemp("ds")
+    rng = np.random.RandomState(7)
+    n_steps, n = 40, 8
+
+    def mk(seed, path):
+        r = np.random.RandomState(seed)
+        trajs = []
+        for _ in range(2):
+            pos = np.cumsum(r.randn(n_steps, n, 3), axis=0)
+            vel = r.randn(n_steps, n, 3)
+            trajs.append({"positions": pos, "velocities": vel,
+                          "n_steps": n_steps})
+        masses = rng.uniform(1e10, 1e12, n).astype(np.float32)
+        create_training_dataset(trajs, str(path), sequence_length=5,
+                                masses=masses)
+        return str(path)
+
+    train = mk(1, tmp / "train.h5")
+    val = mk(2, tmp / "val.h5")
+    return train, val
+
+
+def test_dataset_basic(dataset_paths):
+    train, _ = dataset_paths
+    ds = GNNDataset(train, k_neighbors=3)
+    assert ds.n_samples == 2 * 35
+    assert ds.n_particles == 8
+    assert ds.edge_index.shape == (2, 8 * 3)
+    assert len(ds) == ds.n_samples
+
+
+def test_dataset_fully_connected_when_k_large(dataset_paths):
+    train, _ = dataset_paths
+    ds = GNNDataset(train, k_neighbors=None)
+    assert ds.edge_index.shape == (2, 8 * 7)
+    ds2 = GNNDataset(train, k_neighbors=7)  # k >= N-1
+    assert ds2.edge_index.shape == (2, 8 * 7)
+
+
+def test_getitem_normalization(dataset_paths):
+    train, _ = dataset_paths
+    ds = GNNDataset(train, k_neighbors=3)
+    item = ds[5]
+    assert item["x"].shape == (8, 7)
+    assert item["y"].shape == (8, 6)
+    want_x6 = (ds.last_states[5] - ds.state_mean) / ds.state_std
+    np.testing.assert_allclose(item["x"][:, :6], want_x6, rtol=1e-5)
+    np.testing.assert_allclose(item["x"][:, 6],
+                               ds.masses / ds.masses.mean(), rtol=1e-6)
+    np.testing.assert_allclose(item["pos"], want_x6[:, :3], rtol=1e-5)
+    want_y = (ds.targets[5] - ds.state_mean) / ds.state_std
+    np.testing.assert_allclose(item["y"], want_y, rtol=1e-5)
+
+
+def test_external_norm_stats(dataset_paths):
+    train, val = dataset_paths
+    ds_train = GNNDataset(train, k_neighbors=3)
+    ds_val = GNNDataset(val, k_neighbors=3,
+                        external_norm_stats=ds_train.get_normalization_stats())
+    np.testing.assert_array_equal(ds_val.state_mean, ds_train.state_mean)
+    np.testing.assert_array_equal(ds_val.state_std, ds_train.state_std)
+
+
+def test_stats_deterministic(dataset_paths):
+    """The reference's unseeded stat sampling is fixed (SURVEY §7 quirks):
+    two loads give identical stats."""
+    train, _ = dataset_paths
+    a = GNNDataset(train, k_neighbors=3)
+    b = GNNDataset(train, k_neighbors=3)
+    np.testing.assert_array_equal(a.state_mean, b.state_mean)
+    np.testing.assert_array_equal(a.edge_index, b.edge_index)
+
+
+@pytest.fixture(scope="module")
+def tiny_trainer(dataset_paths, tmp_path_factory):
+    train, val = dataset_paths
+    ds_train = GNNDataset(train, k_neighbors=3)
+    ds_val = GNNDataset(val, k_neighbors=3,
+                        external_norm_stats=ds_train.get_normalization_stats())
+    model = NBodyGNN(node_input_dim=7, hidden_dim=16, n_layers=2,
+                     output_dim=6, dropout=0.1)
+    model_dir = tmp_path_factory.mktemp("models")
+    trainer = Trainer(model, ds_train, ds_val, model_dir=str(model_dir),
+                      batch_size=16, n_epochs=5, seed=0)
+    return trainer, model_dir
+
+
+def test_training_decreases_loss(tiny_trainer):
+    trainer, model_dir = tiny_trainer
+    history = trainer.train(n_epochs=5, early_stopping_patience=30,
+                            save_every=2, verbose=False)
+    assert len(history["train_loss"]) == 5
+    assert history["val_loss"][-1] < history["val_loss"][0]
+    assert set(history) == {"train_loss", "val_loss", "learning_rate",
+                            "energy_loss", "momentum_loss"}
+    # Checkpoint cadence: best + every-2 + final (train.py:519-533).
+    assert (model_dir / "best_model.pt").exists()
+    assert (model_dir / "checkpoint_epoch_2.pt").exists()
+    assert (model_dir / "checkpoint_epoch_4.pt").exists()
+    assert (model_dir / "final_model.pt").exists()
+    assert (model_dir / "training_history.json").exists()
+    with open(model_dir / "training_history.json") as f:
+        saved = json.load(f)
+    assert saved["train_loss"] == history["train_loss"]
+    # LR of epoch 0 is the base LR.
+    assert history["learning_rate"][0] == pytest.approx(5e-4)
+
+
+def test_checkpoint_contents_and_reload(tiny_trainer, dataset_paths):
+    trainer, model_dir = tiny_trainer
+    ckpt = load_checkpoint(model_dir / "best_model.pt")
+    assert ckpt["norm_stats"] is not None
+    assert ckpt["model_config"]["hidden_dim"] == 16
+    assert ckpt["best_val_loss"] == trainer.best_val_loss
+
+    # Reload into a fresh trainer: params identical, best_val_loss restored.
+    train, val = dataset_paths
+    ds_train = GNNDataset(train, k_neighbors=3)
+    model = NBodyGNN(node_input_dim=7, hidden_dim=16, n_layers=2,
+                     output_dim=6, dropout=0.1)
+    t2 = Trainer(model, ds_train, model_dir=str(model_dir), batch_size=16)
+    t2.load_model("best_model.pt")
+    import jax
+
+    leaves1 = jax.tree_util.tree_leaves(trainer.params)
+    # trainer.params may have trained further since best; just check shapes
+    # of reload match and best_val_loss round-trips.
+    leaves2 = jax.tree_util.tree_leaves(t2.params)
+    assert [l.shape for l in leaves1] == [l.shape for l in leaves2]
+    assert t2.best_val_loss == trainer.best_val_loss
+
+
+def test_early_stopping(dataset_paths, tmp_path):
+    train, val = dataset_paths
+    ds_train = GNNDataset(train, k_neighbors=3)
+    ds_val = GNNDataset(val, k_neighbors=3,
+                        external_norm_stats=ds_train.get_normalization_stats())
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1,
+                     output_dim=6, dropout=0.0)
+    trainer = Trainer(model, ds_train, ds_val, model_dir=str(tmp_path),
+                      batch_size=16, noise_std=0.0)
+    # Stub validation to a constant: no improvement after epoch 1 ->
+    # patience 2 stops at epoch 3 (train.py:519-528 logic).
+    trainer.validate = lambda: (1.0, {"total": 1.0, "energy": 0.0,
+                                      "momentum": 0.0})
+    history = trainer.train(n_epochs=10, early_stopping_patience=2,
+                            verbose=False)
+    assert len(history["train_loss"]) == 3
+
+
+def test_mse_only_mode(dataset_paths, tmp_path):
+    train, _ = dataset_paths
+    ds_train = GNNDataset(train, k_neighbors=3)
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1, output_dim=6)
+    trainer = Trainer(model, ds_train, model_dir=str(tmp_path), batch_size=16,
+                      use_physics_loss=False)
+    loss = trainer.train_epoch()
+    assert np.isfinite(loss)
