@@ -33,7 +33,7 @@ import time
 N_SIMS = 300
 N_STEPS = 400
 N_PARTICLES = 200
-REPS = 5
+REPS = 20
 BASELINE_SIM_STEPS_PER_SEC = 12_000.0
 
 

@@ -31,6 +31,32 @@ Public layers mirror the reference's (``src/hpc``, ``src/ai``, ``src/utils``):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_persistent_compilation_cache():
+    """XLA compiles are expensive (minutes for large scan programs on
+    remote-compile TPU backends); cache them on disk across processes.
+    Opt out with NBODY_GNN_TPU_NO_CACHE=1 or redirect with
+    NBODY_GNN_TPU_CACHE_DIR."""
+    if _os.environ.get("NBODY_GNN_TPU_NO_CACHE") == "1":
+        return
+    cache_dir = _os.environ.get(
+        "NBODY_GNN_TPU_CACHE_DIR",
+        _os.path.join(_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))), ".jax_cache"))
+    try:
+        import jax
+
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization; never block import
+
+
+_enable_persistent_compilation_cache()
+
 from nbody_gnn_hpc_tpu.config import TrainingConfig
 
 __all__ = ["TrainingConfig", "__version__"]

@@ -106,6 +106,7 @@ run_trajectory_batch = jax.jit(
 )
 
 
+@partial(jax.jit, static_argnames=("n_steps", "softening"))
 def rollout_steps(state: SimState, dt, n_steps: int,
                   softening: float = SOFTENING) -> SimState:
     """Advance ``n_steps`` without saving intermediates (fast-forward)."""

@@ -43,15 +43,22 @@ def main():
     float(state.positions.sum())
     print(f"Warmup step: {time.time() - t_warm:.2f}s")
 
+    # Chain CHUNK steps per measurement: a per-step host readback would
+    # time the network round-trip, not the kernel (~30ms tunnel latency vs
+    # sub-ms step compute).
+    chunk = 50
+    state = rollout_steps(state, sim.dt, chunk)  # compile the chunked form
+    float(state.positions.sum())
+
     times = []
     print("Measuring...")
     for i in range(args.steps):
         start = time.time()
-        state = rollout_steps(state, sim.dt, 1)
+        state = rollout_steps(state, sim.dt, chunk)
         float(state.positions.sum())  # force execution
-        dt = time.time() - start
+        dt = (time.time() - start) / chunk
         times.append(dt)
-        print(f"Step {i + 1}: {dt:.4f}s")
+        print(f"Round {i + 1} ({chunk} steps): {dt * 1000:.3f} ms/step")
 
     avg_step = sum(times) / len(times)
     print(f"Average step time: {avg_step:.4f}s "
