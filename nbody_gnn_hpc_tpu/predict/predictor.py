@@ -109,6 +109,29 @@ class Predictor:
             self._rollout_cache[key] = rollout
         return self._rollout_cache[key]
 
+    def _get_batch_rollout_fn(self, n_particles: int, n_steps: int):
+        key = ("batch", n_particles, n_steps)
+        if key not in self._rollout_cache:
+            step = self._build_step(n_particles)
+
+            @jax.jit
+            def rollout(params, pos0, vel0, mass_feat):  # pos0: (B, N, 3)
+                def one(p0, v0):
+                    def body(carry, _):
+                        pos, vel = carry
+                        pos, vel = step(params, pos, vel, mass_feat)
+                        return (pos, vel), (pos, vel)
+
+                    _, (ps, vs) = jax.lax.scan(body, (p0, v0), None,
+                                               length=n_steps)
+                    return (jnp.concatenate([p0[None], ps]),
+                            jnp.concatenate([v0[None], vs]))
+
+                return jax.vmap(one)(pos0, vel0)
+
+            self._rollout_cache[key] = rollout
+        return self._rollout_cache[key]
+
     # -- reference surface ------------------------------------------------------
 
     def predict_single(self, positions: np.ndarray, velocities: np.ndarray,
@@ -132,6 +155,32 @@ class Predictor:
         program for all steps."""
         n_particles = len(masses)
         rollout = self._get_rollout_fn(n_particles, n_steps)
+        mass_feat = (np.asarray(masses) / np.asarray(masses).mean()
+                     ).reshape(-1, 1).astype(np.float32)
+        ps, vs = rollout(self.params,
+                         jnp.asarray(initial_positions, jnp.float32),
+                         jnp.asarray(initial_velocities, jnp.float32),
+                         jnp.asarray(mass_feat))
+        return {
+            "positions": np.asarray(ps, np.float64),
+            "velocities": np.asarray(vs, np.float64),
+            "n_steps": n_steps,
+            "n_particles": n_particles,
+        }
+
+    def predict_rollout_batch(self, initial_positions: np.ndarray,
+                              initial_velocities: np.ndarray,
+                              masses: np.ndarray, n_steps: int
+                              ) -> Dict[str, np.ndarray]:
+        """Rollouts for a whole batch of initial states in ONE device
+        program (``vmap`` over sims) — used by evaluation to run all test
+        sims at once.  Inputs (B, N, 3); outputs (B, n_steps+1, N, 3).
+
+        No reference equivalent: the reference rolls test sims out one at a
+        time, one host round-trip per step (``evaluate.py:101-110``).
+        """
+        n_particles = len(masses)
+        rollout = self._get_batch_rollout_fn(n_particles, n_steps)
         mass_feat = (np.asarray(masses) / np.asarray(masses).mean()
                      ).reshape(-1, 1).astype(np.float32)
         ps, vs = rollout(self.params,

@@ -93,13 +93,17 @@ def main():
     except Exception as e:
         print(f"  (Plots disabled: {e})")
 
+    # All rollouts in ONE device program (vmap over test sims) — the
+    # reference rolls them out one host-trip-per-step (SURVEY §3.4).
+    ai_all = predictor.predict_rollout_batch(
+        gt_pos[:, seq_len].astype(np.float32),
+        gt_vel[:, seq_len].astype(np.float32),
+        shared_masses, n_steps=prediction_steps)
+
     for i in range(args.n_test_sims):
         print(f"\n  Test {i + 1}/{args.n_test_sims}")
-        init_pos = gt_pos[i, seq_len]
-        init_vel = gt_vel[i, seq_len]
-
-        ai = predictor.predict_rollout(init_pos, init_vel, shared_masses,
-                                       n_steps=prediction_steps)
+        ai = {"positions": ai_all["positions"][i],
+              "velocities": ai_all["velocities"][i]}
 
         hpc_pos = gt_pos[i, seq_len:seq_len + prediction_steps + 1]
         hpc_vel = gt_vel[i, seq_len:seq_len + prediction_steps + 1]

@@ -39,6 +39,11 @@ def main():
     parser.add_argument("--noise-std", type=float, default=None)
     parser.add_argument("--weight-decay", type=float, default=None)
     parser.add_argument("--k-neighbors", type=int, default=None)
+    parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
+                        help="Resume from a checkpoint file in --model-dir "
+                             "(e.g. final_model.pt). The reference's "
+                             "Trainer.load_model existed but no CLI wired "
+                             "it up (SURVEY §5); this does.")
     args = parser.parse_args()
 
     config = TrainingConfig()
@@ -130,6 +135,12 @@ def main():
         n_epochs=config.epochs,
     )
     print(f"  Parameters:    {count_parameters(trainer.params):,}")
+
+    if args.resume:
+        trainer.load_model(args.resume)
+        print(f"  Resumed from:  {model_dir / args.resume} "
+              f"(epoch {trainer.current_epoch}, "
+              f"best val {trainer.best_val_loss:.6f})")
 
     print("\nStarting training...")
     history = trainer.train(n_epochs=config.epochs,

@@ -1,0 +1,108 @@
+"""CLI smoke tests: the full pipeline through the scripts, tiny sizes, CPU.
+
+The reference's de-facto integration test is run_demo.py (SURVEY §4); this
+drives the same stage sequence through subprocesses in a tmpdir.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import h5py
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+SCRIPTS = REPO / "scripts"
+
+
+def cli_env():
+    """Subprocess env forcing local CPU (see conftest docstring)."""
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = str(REPO)
+    return env
+
+
+def run(args, cwd):
+    result = subprocess.run([sys.executable, *args], cwd=cwd, env=cli_env(),
+                            capture_output=True, text=True, timeout=600)
+    assert result.returncode == 0, \
+        f"{args} failed:\nSTDOUT:{result.stdout[-2000:]}\n" \
+        f"STDERR:{result.stderr[-2000:]}"
+    return result
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("cli")
+
+
+@pytest.mark.slow
+def test_full_pipeline(workdir):
+    # 1. generate_data
+    run([str(SCRIPTS / "generate_data.py"), "--particles", "12",
+         "--simulations", "5", "--steps", "30", "--sequence-length", "5",
+         "-o", "./data"], workdir)
+    with h5py.File(workdir / "data/train_dataset.h5") as f:
+        # 4 train sims x (31 saved states - 5) windows — the initial state
+        # is saved too (nbody.py:234), mirroring the reference's 391 = 401-10.
+        assert f.attrs["n_samples"] == 4 * 26
+        assert "masses" in f
+    assert (workdir / "data/val_dataset.h5").exists()
+    assert (workdir / "data/checkpoints/sim_0000_trajectory.h5").exists()
+
+    # resumability: rerun skips existing sims
+    out = run([str(SCRIPTS / "generate_data.py"), "--particles", "12",
+               "--simulations", "5", "--steps", "30",
+               "--sequence-length", "5", "-o", "./data"], workdir)
+    assert "skipped 5" in out.stdout
+
+    # 2. train_model
+    run([str(SCRIPTS / "train_model.py"), "--epochs", "2", "--hidden-dim",
+         "16", "--n-layers", "1", "--k-neighbors", "4", "--batch-size", "16",
+         "-d", "./data", "-o", "./models"], workdir)
+    assert (workdir / "models/best_model.pt").exists()
+    assert (workdir / "models/final_model.pt").exists()
+    with open(workdir / "models/config.json") as f:
+        cfg = json.load(f)
+    assert cfg["model_config"]["hidden_dim"] == 16
+    with open(workdir / "models/training_history.json") as f:
+        hist = json.load(f)
+    assert len(hist["train_loss"]) == 2
+
+    # 3. evaluate
+    run([str(SCRIPTS / "evaluate.py"), "--n-test-sims", "2", "--particles",
+         "12", "--steps", "30"], workdir)
+    with open(workdir / "results/evaluation_results.json") as f:
+        results = json.load(f)
+    assert results["n_test_simulations"] == 2
+    assert "position_rmse" in results["average_metrics"]
+    assert len(results["per_simulation_metrics"]) == 2
+
+    # 4. export_csv
+    run([str(SCRIPTS / "export_csv.py")], workdir)
+    for name in ("metrics_summary.csv", "metrics_per_simulation.csv",
+                 "sample_trajectory.csv", "simulation_info.csv",
+                 "training_history.csv"):
+        assert (workdir / "results/csv" / name).exists(), name
+
+
+@pytest.mark.slow
+def test_merge_dataset(workdir):
+    """merge_dataset rebuilds train/val sets from trajectory files, with
+    masses (fixing the reference's omission)."""
+    run([str(SCRIPTS / "merge_dataset.py"), "-o", "./data",
+         "--sequence-length", "5"], workdir)
+    with h5py.File(workdir / "data/train_dataset.h5") as f:
+        assert "masses" in f  # reference's merge omits them (SURVEY §7)
+        assert f.attrs["n_samples"] > 0
+
+
+@pytest.mark.slow
+def test_benchmark_script(workdir):
+    out = run([str(SCRIPTS / "benchmark_bh_temp.py"), "-n", "64",
+               "--steps", "1"], workdir)
+    assert "Average step time" in out.stdout
