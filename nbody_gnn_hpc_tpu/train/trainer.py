@@ -131,14 +131,17 @@ class Trainer:
                        "energy": zero, "momentum": zero}
 
     def _build_epoch_fn(self):
+        # NOTE: the dataset arrays are jit ARGUMENTS, not closure captures —
+        # closed-over device arrays get embedded into the lowered program as
+        # constants (hundreds of MB of HLO at production scale, which big
+        # compile services reject outright).
         model, edge_index = self.model, self.edge_index
         mean, std, mass_feat = self._mean, self._std, self._mass_feat
         noise_std = self.noise_std
         batch, n_batches = self._batch, self.steps_per_epoch
-        states, targets = self.train_states, self.train_targets
         tx = self.tx
 
-        def train_step(carry, batch_idx):
+        def train_step(states, targets, carry, batch_idx):
             params, opt_state, key = carry
             key, k_noise, k_drop = jax.random.split(key, 3)
 
@@ -169,12 +172,13 @@ class Trainer:
             return (params, opt_state, key), loss
 
         @jax.jit
-        def epoch_fn(params, opt_state, key):
+        def epoch_fn(params, opt_state, key, states, targets):
             key, k_perm = jax.random.split(key)
             perm = jax.random.permutation(k_perm, states.shape[0])
             batch_ids = perm[:n_batches * batch].reshape(n_batches, batch)
             (params, opt_state, key), losses = jax.lax.scan(
-                train_step, (params, opt_state, key), batch_ids)
+                lambda c, b: train_step(states, targets, c, b),
+                (params, opt_state, key), batch_ids)
             return params, opt_state, key, jnp.mean(losses)
 
         return epoch_fn
@@ -186,9 +190,8 @@ class Trainer:
         mean, std, mass_feat = self._mean, self._std, self._mass_feat
         batch = min(self._batch, self.n_val)
         n_batches = max(1, self.n_val // batch)
-        states, targets = self.val_states, self.val_targets
 
-        def val_step_p(params, batch_idx):
+        def val_step_p(params, states, targets, batch_idx):
             s = jnp.take(states, batch_idx, axis=0)
             t = jnp.take(targets, batch_idx, axis=0)
             s_norm = (s - mean) / std
@@ -203,10 +206,11 @@ class Trainer:
             return details
 
         @jax.jit
-        def val_fn(params):
+        def val_fn(params, states, targets):
             ids = jnp.arange(n_batches * batch).reshape(n_batches, batch)
             _, details = jax.lax.scan(
-                lambda c, b: (c, val_step_p(params, b)), None, ids)
+                lambda c, b: (c, val_step_p(params, states, targets, b)),
+                None, ids)
             return jax.tree_util.tree_map(jnp.mean, details)
 
         return val_fn
@@ -216,14 +220,16 @@ class Trainer:
     def train_epoch(self) -> float:
         """One epoch (parity: ``train.py:396-435``); returns mean train loss."""
         self.params, self.opt_state, self._rng, loss = self._epoch_fn(
-            self.params, self.opt_state, self._rng)
+            self.params, self.opt_state, self._rng,
+            self.train_states, self.train_targets)
         return float(loss)
 
     def validate(self):
         """(val_loss, details) with dropout off (parity: ``train.py:437-467``)."""
         if self._val_fn is None:
             return float("nan"), {}
-        details = self._val_fn(self.params)
+        details = self._val_fn(self.params, self.val_states,
+                               self.val_targets)
         details = {k: float(v) for k, v in details.items()}
         return details.get("total", float("nan")), details
 
