@@ -87,6 +87,7 @@ class NBodyGNN(nn.Module):
     n_layers: int = 3
     output_dim: int = 6        # delta pos(3) + delta vel(3)
     dropout: float = 0.1
+    remat: bool = True         # rematerialize interaction layers in backward
 
     @nn.compact
     def __call__(self, x, edge_index, pos=None, deterministic: bool = True):
@@ -107,8 +108,16 @@ class NBodyGNN(nn.Module):
         h = _MLPBlock(self.hidden_dim, self.hidden_dim, self.dropout,
                       name="node_encoder")(x, deterministic)
 
+        # Remat: each interaction layer's edge intermediates are O(E * 2H)
+        # (~400 MB/layer at the production batch) — recompute them in the
+        # backward pass instead of keeping all n_layers alive (HBM is the
+        # bottleneck; the recompute FLOPs are cheap — SURVEY §7 / the
+        # jax.checkpoint recipe).
+        # static_argnums counts self at 0: deterministic is arg 4.
+        layer_cls = (nn.remat(ParticleInteractionLayer, static_argnums=(4,))
+                     if self.remat else ParticleInteractionLayer)
         for i in range(self.n_layers):
-            h_new = ParticleInteractionLayer(
+            h_new = layer_cls(
                 node_features=self.hidden_dim, hidden_dim=self.hidden_dim,
                 dropout=self.dropout, name=f"layer_{i}")(
                     h, edge_index, edge_attr, deterministic)
