@@ -24,7 +24,7 @@ every graph in this problem has the same N and edge set, so batching is a
 ``vmap`` over a dense (B, N, F) axis instead of PyG's flattened Batch).
 """
 
-from typing import Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -37,19 +37,25 @@ EDGE_DIM = 5  # distance(1) + direction(3) + inv_dist_sq(1) — model.py:88
 
 class _MLPBlock(nn.Module):
     """Linear -> LayerNorm -> SiLU -> Dropout -> Linear (the reference's
-    recurring Sequential motif, e.g. model.py:38-44)."""
+    recurring Sequential motif, e.g. model.py:38-44).
+
+    ``dtype`` is the matmul compute dtype (bfloat16 targets the MXU at 4x
+    the f32 rate); params and LayerNorm statistics stay float32, and the
+    block returns float32, so residuals/aggregations accumulate in f32.
+    """
 
     hidden: int
     out: int
     dropout: float
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
-        x = nn.Dense(self.hidden)(x)
-        x = nn.LayerNorm()(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x.astype(jnp.float32))
         x = nn.silu(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
-        return nn.Dense(self.out)(x)
+        return nn.Dense(self.out, dtype=self.dtype)(x).astype(jnp.float32)
 
 
 class ParticleInteractionLayer(nn.Module):
@@ -58,23 +64,52 @@ class ParticleInteractionLayer(nn.Module):
     Message for edge (row -> col): edge_mlp([h[col], h[row], e]) — PyG's
     (x_i, x_j) with i = target = edge_index[1]; sum-aggregated at targets;
     node update node_mlp([h, agg]).
+
+    TPU optimization (math-identical): the first edge Dense on the
+    concatenation [h_i, h_j, e] is decomposed as
+        W^T [h_i; h_j; e] + b = (W_t^T h)_i + (W_s^T h)_j + W_e^T e + b,
+    so the two node projections run at NODE granularity (N rows) and are
+    gathered per edge — this removes the (E, 2H+5) concat materialization
+    and turns the dominant (E, 2H+5) x (2H+5, H) matmul into two tiny
+    (N, H) x (H, H) matmuls plus gathers.  The step is HBM-bound at E=192k
+    per batch; same weights, same math, ~half the edge traffic and FLOPs.
+    Parameter count is unchanged (the kernel is split; one bias).
     """
 
     node_features: int
     hidden_dim: int = 128
     dropout: float = 0.1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h, edge_index, edge_attr, deterministic: bool = True):
         n_nodes = h.shape[0]
-        h_target = jnp.take(h, edge_index[1], axis=0)   # x_i
-        h_source = jnp.take(h, edge_index[0], axis=0)   # x_j
-        edge_in = jnp.concatenate([h_target, h_source, edge_attr], axis=-1)
-        messages = _MLPBlock(self.hidden_dim, self.hidden_dim, self.dropout,
-                             name="edge_mlp")(edge_in, deterministic)
-        agg = aggregate_to_targets(messages, edge_index, n_nodes)
+        # Decomposed Dense(2H+5 -> H): target/source node projections + edge
+        # feature projection (bias lives on the target projection only).
+        t_proj = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                          name="edge_proj_target")(h)            # (N, H)
+        s_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, use_bias=False,
+                          name="edge_proj_source")(h)            # (N, H)
+        e_proj = nn.Dense(self.hidden_dim, dtype=self.dtype, use_bias=False,
+                          name="edge_proj_attr")(edge_attr)      # (E, H)
+        z = (jnp.take(t_proj, edge_index[1], axis=0)
+             + jnp.take(s_proj, edge_index[0], axis=0)
+             + e_proj)                                           # (E, H)
+        # LayerNorm -> SiLU -> Dropout -> Dense (model.py:40-43), kept in
+        # the compute dtype end-to-end: the (E, H) stream is the bandwidth
+        # bottleneck and these activations are normalized (bf16-safe).
+        z = nn.LayerNorm(dtype=self.dtype, name="edge_norm")(z)
+        z = nn.silu(z)
+        z = nn.Dropout(self.dropout, deterministic=deterministic)(z)
+        messages = nn.Dense(self.hidden_dim, dtype=self.dtype,
+                            name="edge_out")(z)                  # (E, H)
+
+        # Sum-aggregate at targets, accumulating in f32.
+        agg = aggregate_to_targets(messages.astype(jnp.float32), edge_index,
+                                   n_nodes)
         node_in = jnp.concatenate([h, agg], axis=-1)
         return _MLPBlock(self.hidden_dim, self.node_features, self.dropout,
+                         dtype=self.dtype,
                          name="node_mlp")(node_in, deterministic)
 
 
@@ -88,6 +123,7 @@ class NBodyGNN(nn.Module):
     output_dim: int = 6        # delta pos(3) + delta vel(3)
     dropout: float = 0.1
     remat: bool = True         # rematerialize interaction layers in backward
+    dtype: Any = jnp.float32   # matmul compute dtype (bfloat16 for MXU rate)
 
     @nn.compact
     def __call__(self, x, edge_index, pos=None, deterministic: bool = True):
@@ -106,7 +142,7 @@ class NBodyGNN(nn.Module):
         edge_attr = edge_features(pos, edge_index)  # once, shared by layers
 
         h = _MLPBlock(self.hidden_dim, self.hidden_dim, self.dropout,
-                      name="node_encoder")(x, deterministic)
+                      dtype=self.dtype, name="node_encoder")(x, deterministic)
 
         # Remat: each interaction layer's edge intermediates are O(E * 2H)
         # (~400 MB/layer at the production batch) — recompute them in the
@@ -119,20 +155,35 @@ class NBodyGNN(nn.Module):
         for i in range(self.n_layers):
             h_new = layer_cls(
                 node_features=self.hidden_dim, hidden_dim=self.hidden_dim,
-                dropout=self.dropout, name=f"layer_{i}")(
+                dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}")(
                     h, edge_index, edge_attr, deterministic)
             h = nn.LayerNorm(name=f"norm_{i}")(h + h_new)
 
-        # Decoder (model.py:111-122) with zero-init final layer.
-        d = nn.Dense(self.hidden_dim, name="decoder_0")(h)
-        d = nn.silu(d)
+        # Decoder (model.py:111-122) with zero-init final layer (the final
+        # Dense stays float32 so the residual delta is added at full
+        # precision).
+        d = nn.Dense(self.hidden_dim, dtype=self.dtype, name="decoder_0")(h)
+        d = nn.silu(d.astype(jnp.float32))
         d = nn.Dropout(self.dropout, deterministic=deterministic)(d)
-        d = nn.Dense(self.hidden_dim // 2, name="decoder_1")(d)
-        d = nn.silu(d)
+        d = nn.Dense(self.hidden_dim // 2, dtype=self.dtype,
+                     name="decoder_1")(d)
+        d = nn.silu(d.astype(jnp.float32))
         delta = nn.Dense(self.output_dim, name="decoder_out",
                          kernel_init=nn.initializers.zeros,
                          bias_init=nn.initializers.zeros)(d)
         return current_state + delta
+
+
+def model_from_config(config: dict, dtype_override=None) -> NBodyGNN:
+    """Build an NBodyGNN from a persisted ``model_config`` dict
+    (``models/config.json`` round-trip).  ``dtype`` is stored as a string;
+    inference callers typically override it to float32 — the params are
+    float32 either way, so the same checkpoint serves both."""
+    cfg = dict(config)
+    dtype = dtype_override or cfg.pop("dtype", "float32")
+    cfg.pop("dtype", None)
+    return NBodyGNN(dtype=jnp.dtype(dtype).type if isinstance(dtype, str)
+                    else dtype, **cfg)
 
 
 def init_model(model: NBodyGNN, rng, n_particles: int, n_edges: int):

@@ -65,7 +65,11 @@ def main():
         k_neighbors = 40
 
     print("\nLoading model...")
-    model = NBodyGNN(**model_config)
+    from nbody_gnn_hpc_tpu.models import model_from_config
+
+    # Inference at float32 regardless of the training compute dtype (the
+    # checkpoint params are float32 either way).
+    model = model_from_config(model_config, dtype_override="float32")
     predictor = Predictor(model, str(model_path), k_neighbors=k_neighbors)
 
     print(f"\nRunning {args.n_test_sims} test simulations "

@@ -39,6 +39,11 @@ def main():
     parser.add_argument("--noise-std", type=float, default=None)
     parser.add_argument("--weight-decay", type=float, default=None)
     parser.add_argument("--k-neighbors", type=int, default=None)
+    parser.add_argument("--no-bf16", action="store_true",
+                        help="Train matmuls in float32 instead of bfloat16")
+    parser.add_argument("--remat", action="store_true",
+                        help="Rematerialize interaction layers in backward "
+                             "(lower memory, ~35%% slower)")
     parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
                         help="Resume from a checkpoint file in --model-dir "
                              "(e.g. final_model.pt). The reference's "
@@ -104,13 +109,19 @@ def main():
         "n_layers": config.n_layers,
         "output_dim": 6,
         "dropout": config.dropout,
+        # TPU training runs bf16 matmuls (params stay f32); inference
+        # rebuilds the model at f32 from the same checkpoint.
+        "dtype": "float32" if args.no_bf16 else "bfloat16",
+        "remat": args.remat,
     }
 
     print(f"\n  Train samples: {len(train_dataset)}")
     if val_dataset:
         print(f"  Val samples:   {len(val_dataset)}")
 
-    model = NBodyGNN(**model_config)
+    from nbody_gnn_hpc_tpu.models import model_from_config
+
+    model = model_from_config(model_config)
 
     # Persist config for evaluate.py (reference train_model.py:125-131).
     saved_config = {
