@@ -58,17 +58,7 @@ class GNNDataset:
                 print("WARNING: dataset has no 'masses'; physics loss will "
                       "use unit masses")
 
-            # Bulk-load last input states + targets (chunked reads — gzip
-            # chunks decompress whole rows anyway).
-            self.last_states = np.empty(
-                (self.n_samples, self.n_particles, 6), np.float32)
-            self.targets = np.empty(
-                (self.n_samples, self.n_particles, 6), np.float32)
-            chunk = 2048
-            for i in range(0, self.n_samples, chunk):
-                j = min(i + chunk, self.n_samples)
-                self.last_states[i:j] = f["inputs"][i:j, -1]
-                self.targets[i:j] = f["targets"][i:j]
+            self._load_tensors(f)
 
         rng = np.random.RandomState(_STAT_SEED)
 
@@ -109,6 +99,41 @@ class GNNDataset:
 
         print(f"Dataset: {self.n_samples} samples, "
               f"{self.n_particles} particles")
+
+    def _load_tensors(self, f) -> None:
+        """Bulk-load last input states + targets, with an uncompressed .npz
+        sidecar cache: the gzip'd production dataset takes minutes to
+        decompress on one core per training launch; the sidecar loads in
+        seconds.  Invalidated by source size+mtime."""
+        import os
+
+        src_stat = os.stat(self.data_path)
+        cache_path = self.data_path + ".tensors.npz"
+        tag = f"{src_stat.st_size}:{int(src_stat.st_mtime)}"
+        if os.path.exists(cache_path):
+            try:
+                cached = np.load(cache_path)
+                if str(cached["tag"]) == tag:
+                    self.last_states = cached["last_states"]
+                    self.targets = cached["targets"]
+                    return
+            except Exception:
+                pass  # unreadable/stale cache -> rebuild
+
+        self.last_states = np.empty(
+            (self.n_samples, self.n_particles, 6), np.float32)
+        self.targets = np.empty(
+            (self.n_samples, self.n_particles, 6), np.float32)
+        chunk = 2048
+        for i in range(0, self.n_samples, chunk):
+            j = min(i + chunk, self.n_samples)
+            self.last_states[i:j] = f["inputs"][i:j, -1]
+            self.targets[i:j] = f["targets"][i:j]
+        try:
+            np.savez(cache_path, tag=tag, last_states=self.last_states,
+                     targets=self.targets)
+        except Exception:
+            pass  # cache write is best-effort (read-only dirs etc.)
 
     # -- reference item surface ---------------------------------------------
 
