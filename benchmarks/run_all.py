@@ -1,0 +1,199 @@
+#!/usr/bin/env python3
+"""Run all five BASELINE.md benchmark configs on the attached TPU and write
+``benchmarks/results.json``.
+
+Configs (BASELINE.md "Benchmark configs to support"):
+ 1. single direct O(N^2) leapfrog sim: N=200 x 400 steps
+ 2. batched datagen: 300 sims x 400 steps x 200 particles
+ 3. large-N single sim: N=10k (Barnes-Hut-equivalent regime)
+ 4. GNN training step: 6-layer hidden-256, batch 24, physics loss + noise
+ 5. GNN rollout: 394 steps, N=200, k=40 (evaluate.py protocol)
+
+Timing: chained executions + one host readback (see bench.py docstring for
+why per-step readbacks are invalid on tunneled TPU backends).
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def timeit(fn, sync, reps):
+    fn()  # warm/compile
+    sync()
+    t0 = time.time()
+    for _ in range(reps):
+        fn()
+    sync()
+    return (time.time() - t0) / reps
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nbody_gnn_hpc_tpu.sim import (NBodySimulator, shared_masses)
+    from nbody_gnn_hpc_tpu.sim.integrator import (rollout_steps,
+                                                  run_trajectory_batch)
+    from nbody_gnn_hpc_tpu.parallel import simulate_ensemble
+    from nbody_gnn_hpc_tpu.sim.state import SimState
+
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0])}
+
+    # -- 1. single sim N=200 x 400 steps ------------------------------------
+    sim = NBodySimulator(n_particles=200, box_size=10.0, dt=0.001, seed=42)
+    sim.masses = shared_masses(200)
+    sim.recompute_accelerations()
+    state_holder = {"s": sim.state}
+
+    def one_sim():
+        state_holder["s"] = rollout_steps(state_holder["s"], 0.001, 400)
+
+    def sync1():
+        float(state_holder["s"].positions.sum())
+
+    dt = timeit(one_sim, sync1, 5)
+    results["single_sim_n200_400steps"] = {
+        "seconds": round(dt, 5), "sim_steps_per_sec": round(400 / dt, 1)}
+    print("1. single sim:", results["single_sim_n200_400steps"],
+          file=sys.stderr)
+
+    # -- 2. batched datagen 300 x 400 x 200 ---------------------------------
+    masses = shared_masses(200)
+    traj = simulate_ensemble(list(range(42, 342)), 200, 400, box_size=10.0,
+                             dt=0.001, shared_masses=masses)
+
+    def next_state(t):
+        return SimState(t.positions[:, -1], t.velocities[:, -1],
+                        t.accelerations[:, -1], t.masses, t.times[:, -1],
+                        t.steps[:, -1])
+
+    holder = {"s": next_state(traj)}
+
+    def datagen():
+        t = run_trajectory_batch(holder["s"], 0.001, 400, 1, 1e-9)
+        holder["s"] = next_state(t)
+
+    def sync2():
+        float(holder["s"].positions.sum())
+
+    dt = timeit(datagen, sync2, 10)
+    results["datagen_300x400x200"] = {
+        "seconds": round(dt, 4),
+        "sim_steps_per_sec": round(300 * 400 / dt, 1),
+        "pairs_per_sec": round(300 * 400 * 200 ** 2 / dt, 1)}
+    print("2. datagen:", results["datagen_300x400x200"], file=sys.stderr)
+
+    # -- 3. large-N N=10k (BH regime -> Pallas blocked all-pairs) ------------
+    sim10k = NBodySimulator(n_particles=10_000, box_size=10.0, dt=0.001,
+                            seed=1, use_barnes_hut=True)
+    holder3 = {"s": sim10k.state}
+
+    def bigstep():
+        holder3["s"] = rollout_steps(holder3["s"], 0.001, 20)
+
+    def sync3():
+        float(holder3["s"].positions.sum())
+
+    dt = timeit(bigstep, sync3, 3) / 20
+    results["large_n_10k_step"] = {
+        "ms_per_step": round(dt * 1000, 3),
+        "pairs_per_sec": round(10_000 ** 2 / dt, 1)}
+    print("3. N=10k step:", results["large_n_10k_step"], file=sys.stderr)
+
+    # -- 4. GNN train step (production config) -------------------------------
+    import optax
+
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, forward_batch, init_model
+    from nbody_gnn_hpc_tpu.train.loss import PhysicsInformedLoss
+
+    jax.config.update("jax_default_prng_impl", "rbg")
+    r = np.random.RandomState(0)
+    model = NBodyGNN(node_input_dim=7, hidden_dim=256, n_layers=6,
+                     output_dim=6, dropout=0.1, remat=False,
+                     dtype=jnp.bfloat16)
+    edges = jnp.asarray(np.stack([np.repeat(np.arange(200), 40),
+                                  np.tile(np.arange(40), 200)]
+                                 ).astype(np.int32))
+    params = init_model(model, jax.random.PRNGKey(0), 200, 8000)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(5e-4, weight_decay=1e-4))
+    opt_state = tx.init(params)
+    pmasses = jnp.asarray(r.uniform(1e10, 1e12, 200), jnp.float32)
+    crit = PhysicsInformedLoss()
+
+    @jax.jit
+    def train_step(params, opt_state, s, t, key):
+        k1, k2 = jax.random.split(key)
+        s = s + 0.003 * jax.random.normal(k1, s.shape)
+        pos = s[..., :3]
+        x = jnp.concatenate(
+            [s, jnp.broadcast_to((pmasses / pmasses.mean())[:, None],
+                                 s.shape[:2] + (1,))], -1)
+
+        def loss_fn(p):
+            pred = forward_batch(model, p, x, edges, pos,
+                                 deterministic=False, dropout_rng=k2)
+            return crit(pred, t, pmasses)[0]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        upd, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, upd), opt_state, loss
+
+    s = jnp.asarray(r.randn(24, 200, 6), jnp.float32)
+    t = jnp.asarray(r.randn(24, 200, 6), jnp.float32)
+    st = {"p": params, "o": opt_state, "l": None}
+
+    def tstep():
+        st["p"], st["o"], st["l"] = train_step(st["p"], st["o"], s, t,
+                                               jax.random.PRNGKey(0))
+
+    def sync4():
+        float(st["l"])
+
+    dt = timeit(tstep, sync4, 30)
+    results["gnn_train_step_b24"] = {
+        "ms_per_step": round(dt * 1000, 2),
+        "samples_per_sec": round(24 / dt, 1)}
+    print("4. train step:", results["gnn_train_step_b24"], file=sys.stderr)
+
+    # -- 5. GNN rollout (evaluate protocol: 394 steps, k-NN per step) --------
+    from nbody_gnn_hpc_tpu.predict import Predictor
+
+    infer_model = NBodyGNN(node_input_dim=7, hidden_dim=256, n_layers=6,
+                           output_dim=6, dropout=0.1, remat=False)
+    iparams = init_model(infer_model, jax.random.PRNGKey(0), 200, 8000)
+    pred = Predictor(infer_model, k_neighbors=40, params=iparams)
+    pred.norm_stats = {"state_mean": np.zeros(6, np.float32),
+                       "state_std": np.ones(6, np.float32)}
+    pos0 = r.randn(200, 3).astype(np.float32)
+    vel0 = r.randn(200, 3).astype(np.float32)
+    m = shared_masses(200)
+    out = {}
+
+    def roll():
+        out["r"] = pred.predict_rollout(pos0, vel0, m, 394)
+
+    def sync5():
+        _ = out["r"]["positions"][-1].sum()
+
+    dt = timeit(roll, sync5, 3)
+    results["gnn_rollout_394steps"] = {
+        "seconds": round(dt, 3),
+        "rollout_steps_per_sec": round(394 / dt, 1)}
+    print("5. rollout:", results["gnn_rollout_394steps"], file=sys.stderr)
+
+    out_path = Path(__file__).parent / "results.json"
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results, indent=2))
+    print(f"\nwritten to {out_path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,7 +17,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 from nbody_gnn_hpc_tpu.config import TrainingConfig
-from nbody_gnn_hpc_tpu.models import NBodyGNN, count_parameters, init_model
+from nbody_gnn_hpc_tpu.models import count_parameters
 from nbody_gnn_hpc_tpu.train import GNNDataset, Trainer
 
 
