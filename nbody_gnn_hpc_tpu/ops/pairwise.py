@@ -63,9 +63,12 @@ def _pairwise_kernel(packed_ref, packedT_ref, out_ref, *, n_pad: int,
         dx = xj - xi                                      # (TILE_I, TILE_J)
         dy = yj - yi
         dz = zj - zi
-        r2 = dx * dx + dy * dy + dz * dz + soft2
-        inv_r = jax.lax.rsqrt(r2)
+        d2 = dx * dx + dy * dy + dz * dz
+        inv_r = jax.lax.rsqrt(d2 + soft2)
         f = gm * (inv_r * inv_r * inv_r)                  # G m_j / r^3
+        # Zero coincident pairs explicitly: G*m/soft^3 can overflow f32 at
+        # large masses and inf * 0 = NaN (see sim/forces.py).
+        f = jnp.where(d2 > 0, f, 0.0)
         ax = ax + jnp.sum(f * dx, axis=1, keepdims=True)
         ay = ay + jnp.sum(f * dy, axis=1, keepdims=True)
         az = az + jnp.sum(f * dz, axis=1, keepdims=True)

@@ -22,7 +22,13 @@ def kinetic_energy(velocities: jnp.ndarray, masses: jnp.ndarray) -> jnp.ndarray:
 
 def potential_energy(positions: jnp.ndarray, masses: jnp.ndarray,
                      softening: float = SOFTENING) -> jnp.ndarray:
-    """-G * sum_{i<j} m_i m_j / sqrt(|x_i - x_j|^2 + eps^2), shape (...,)."""
+    """-G * sum_{i<j} m_i m_j / sqrt(|x_i - x_j|^2 + eps^2), shape (...,).
+
+    Computed with mean-mass-normalized masses so the pairwise product stays
+    O(1): m_i * m_j overflows float32 beyond masses ~1e19 (solar-system
+    scenes use ~1e30).  The prefactor is reapplied in an overflow-safe
+    order: ((G * scale) * sum) * scale.
+    """
     dtype = positions.dtype
     n = positions.shape[-2]
     diff = positions[..., None, :, :] - positions[..., :, None, :]
@@ -31,8 +37,12 @@ def potential_energy(positions: jnp.ndarray, masses: jnp.ndarray,
     # Zero the diagonal (self-pairs); factor 0.5 de-duplicates (i,j)/(j,i).
     eye = jnp.eye(n, dtype=dtype)
     inv_r = inv_r * (1.0 - eye)
-    mm = masses[..., None, :] * masses[..., :, None]
-    return -0.5 * jnp.asarray(G, dtype) * jnp.sum(mm * inv_r, axis=(-2, -1))
+    scale = jnp.mean(masses, axis=-1, keepdims=True)
+    nm = masses / scale
+    mm = nm[..., None, :] * nm[..., :, None]
+    s = jnp.sum(mm * inv_r, axis=(-2, -1))
+    scale = jnp.squeeze(scale, axis=-1)
+    return -0.5 * ((jnp.asarray(G, dtype) * scale) * s) * scale
 
 
 def total_energy(positions: jnp.ndarray, velocities: jnp.ndarray,

@@ -65,9 +65,15 @@ def pairwise_accelerations(positions: jnp.ndarray,
     dx = x[..., None, :] - x[..., :, None]
     dy = y[..., None, :] - y[..., :, None]
     dz = z[..., None, :] - z[..., :, None]
-    r2 = dx * dx + dy * dy + dz * dz + soft2
+    d2 = dx * dx + dy * dy + dz * dz
+    r2 = d2 + soft2
     inv_r = jax.lax.rsqrt(r2)
     f = gm[..., None, :] * (inv_r * inv_r * inv_r)  # G m_j / r^3
+    # Coincident pairs (self-pairs included) exert zero force.  Relying on
+    # f * dx == 0 is not overflow-safe: at solar-scale masses G*m/soft^3
+    # exceeds f32 max and inf * 0 = NaN.  d2 == 0 identifies exactly the
+    # dx=dy=dz=0 pairs (the reference's `if i != j`, nbody.py:46).
+    f = jnp.where(d2 > 0, f, 0.0)
     ax = jnp.sum(f * dx, axis=-1)
     ay = jnp.sum(f * dy, axis=-1)
     az = jnp.sum(f * dz, axis=-1)
@@ -96,9 +102,10 @@ def blocked_accelerations(positions: jnp.ndarray,
     def one_block(pos_i):
         # pos_i: (block, 3) receivers; all N particles are sources.
         diff = positions[None, :, :] - pos_i[:, None, :]  # (block, N, 3)
-        r2 = jnp.sum(diff * diff, axis=-1) + soft2
-        inv_r = jax.lax.rsqrt(r2)
+        d2 = jnp.sum(diff * diff, axis=-1)
+        inv_r = jax.lax.rsqrt(d2 + soft2)
         factor = g * masses[None, :] * inv_r * inv_r * inv_r
+        factor = jnp.where(d2 > 0, factor, 0.0)  # see pairwise_accelerations
         return jnp.einsum("ij,ijk->ik", factor, diff)
 
     acc = jax.lax.map(one_block, pos_b).reshape(-1, 3)

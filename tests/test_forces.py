@@ -103,6 +103,31 @@ def test_dispatch_small_n(system):
     np.testing.assert_allclose(got, want)
 
 
+def test_solar_scale_masses_no_overflow():
+    """Regression: at solar masses (~2e30), G*m/soft^3 overflows f32 for the
+    softened self-pair; the explicit coincident-pair mask must keep forces
+    finite and the self-force zero."""
+    pos = jnp.asarray([[0, 0, 0], [1.496e11, 0, 0]], jnp.float32)
+    m = jnp.asarray([1.989e30, 5.97e24], jnp.float32)
+    acc = np.asarray(pairwise_accelerations(pos, m))
+    assert np.all(np.isfinite(acc))
+    # Earth's acceleration toward the sun: G*Msun/r^2 ~ 5.9e-3 m/s^2.
+    np.testing.assert_allclose(acc[1, 0], -G * 1.989e30 / 1.496e11 ** 2,
+                               rtol=1e-4)
+
+
+def test_solar_scale_energy_no_overflow():
+    from nbody_gnn_hpc_tpu.sim import total_energy
+
+    pos = jnp.asarray([[0, 0, 0], [1.496e11, 0, 0]], jnp.float32)
+    vel = jnp.asarray([[0, 0, 0], [0, 2.978e4, 0]], jnp.float32)
+    m = jnp.asarray([1.989e30, 5.97e24], jnp.float32)
+    ke, pe, te = total_energy(pos, vel, m)
+    assert np.isfinite(float(te))
+    # Bound orbit: total energy = -KE for a circular orbit (virial).
+    np.testing.assert_allclose(float(pe), -2 * float(ke), rtol=1e-3)
+
+
 def test_two_body_circular_orbit():
     """Closed-form Kepler oracle: circular two-body orbit acceleration
     magnitude a = G M / r^2 toward the companion."""
