@@ -210,7 +210,8 @@ def create_training_dataset(trajectories: List[Dict],
                             output_path: str,
                             sequence_length: int = 10,
                             stride: int = 1,
-                            masses: Optional[np.ndarray] = None) -> str:
+                            masses: Optional[np.ndarray] = None,
+                            gzip_level: int = 4) -> str:
     """Sliding-window (inputs, target) dataset with the reference's exact
     HDF5 schema (``checkpoint.py:302-398``).
 
@@ -242,13 +243,15 @@ def create_training_dataset(trajectories: List[Dict],
     output_path.parent.mkdir(parents=True, exist_ok=True)
 
     with h5py.File(output_path, "w") as f:
+        # gzip level 4 is the reference schema default (checkpoint.py:352);
+        # level 1 writes ~3x faster on one core and stays fully compatible.
         inputs_ds = f.create_dataset(
             "inputs", shape=(total_samples,) + in_shape, dtype="float32",
-            compression="gzip", compression_opts=4,
+            compression="gzip", compression_opts=gzip_level,
             chunks=(min(100, total_samples),) + in_shape)
         targets_ds = f.create_dataset(
             "targets", shape=(total_samples,) + tgt_shape, dtype="float32",
-            compression="gzip", compression_opts=4,
+            compression="gzip", compression_opts=gzip_level,
             chunks=(min(100, total_samples),) + tgt_shape)
 
         idx = 0

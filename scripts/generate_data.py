@@ -50,6 +50,9 @@ def main():
                         help="Random seed base")
     parser.add_argument("--batch-size", type=int, default=100,
                         help="Simulations per device batch (memory control)")
+    parser.add_argument("--gzip-level", type=int, default=4,
+                        help="HDF5 gzip level for windowed datasets "
+                             "(4 = reference default; 1 = ~3x faster writes)")
     args = parser.parse_args()
 
     output_dir = Path(args.output_dir)
@@ -138,11 +141,13 @@ def main():
         create_training_dataset(all_trajectories[:n_train],
                                 str(output_dir / "train_dataset.h5"),
                                 sequence_length=args.sequence_length,
-                                stride=1, masses=masses)
+                                stride=1, masses=masses,
+                                gzip_level=args.gzip_level)
         create_training_dataset(all_trajectories[n_train:],
                                 str(output_dir / "val_dataset.h5"),
                                 sequence_length=args.sequence_length,
-                                stride=1, masses=masses)
+                                stride=1, masses=masses,
+                                gzip_level=args.gzip_level)
 
     print("\n" + "=" * 60)
     print("DATA GENERATION COMPLETE")
