@@ -277,11 +277,16 @@ class Trainer:
         print(f"Input noise std: {self.noise_std}")
 
         patience_counter = 0
+        # Resumed runs continue the global epoch numbering (load_model
+        # restores current_epoch; the optimizer's step-count schedule already
+        # continues correctly — this keeps the displayed/recorded LR in sync).
+        start_epoch = self.current_epoch
         for epoch in range(n_epochs):
-            self.current_epoch = epoch + 1
+            self.current_epoch = start_epoch + epoch + 1
             # LR in effect this epoch (scheduler stepped at epoch end in the
             # reference, so epoch e runs at lr(e), 0-indexed).
-            current_lr = float(cosine_warm_restarts(epoch, self.learning_rate))
+            current_lr = float(cosine_warm_restarts(start_epoch + epoch,
+                                                    self.learning_rate))
 
             train_loss = self.train_epoch()
             self.history["train_loss"].append(train_loss)
@@ -308,11 +313,11 @@ class Trainer:
                 patience_counter += 1
 
             if patience_counter >= early_stopping_patience:
-                print(f"\nEarly stopping at epoch {epoch + 1}")
+                print(f"\nEarly stopping at epoch {self.current_epoch}")
                 break
 
             if (epoch + 1) % save_every == 0:
-                self.save_model(f"checkpoint_epoch_{epoch + 1}.pt")
+                self.save_model(f"checkpoint_epoch_{self.current_epoch}.pt")
 
         self.save_model("final_model.pt")
         self._save_history()
