@@ -85,4 +85,6 @@ def trajectory_slice(traj: Trajectory, i: int) -> Trajectory:
     return Trajectory(
         positions=traj.positions[i], velocities=traj.velocities[i],
         accelerations=traj.accelerations[i], masses=traj.masses[i],
-        times=traj.times[i], steps=traj.steps[i])
+        times=traj.times[i], steps=traj.steps[i],
+        final=None if traj.final is None else jax.tree_util.tree_map(
+            lambda x: x[i], traj.final))

@@ -5,6 +5,10 @@ feed CPU->GPU).  Here the batch axis is sharded over the mesh's ``data``
 axis and parameters are replicated; XLA emits the gradient ``psum`` over ICI
 automatically because the replicated-output constraint requires it — the
 scaling-book recipe: annotate shardings, let the compiler place collectives.
+
+The per-batch semantics come from the SAME step builder the single-device
+Trainer uses (:func:`nbody_gnn_hpc_tpu.train.steps.make_train_step`), so the
+two paths cannot drift.
 """
 
 from functools import partial
@@ -12,11 +16,10 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import optax
 
-from nbody_gnn_hpc_tpu.models.gnn import forward_batch
 from nbody_gnn_hpc_tpu.parallel.mesh import batch_sharding, replicated
 from nbody_gnn_hpc_tpu.train.loss import PhysicsInformedLoss
+from nbody_gnn_hpc_tpu.train.steps import make_train_step
 
 
 def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
@@ -25,16 +28,7 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
                        criterion: Optional[PhysicsInformedLoss] = None):
     """Build a jitted data-parallel train step.
 
-    Args:
-        model: NBodyGNN.
-        tx: optax GradientTransformation.
-        edge_index: (2, E) static shared edge set.
-        state_mean/state_std: (6,) normalization stats.
-        mass_feat: (N, 1) mass node-feature column.
-        mesh: 1-D device mesh with axis 'data'.
-        noise_std: input-noise sigma (train.py:409-415 semantics).
-        masses: (N,) for the physics loss.
-        criterion: loss (default PhysicsInformedLoss()).
+    Args mirror :func:`make_train_step` plus ``mesh`` (1-D, axis 'data').
 
     Returns:
         step(params, opt_state, states, targets, key) ->
@@ -42,42 +36,17 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
         with states/targets (B, N, 6) RAW (unnormalized), B divisible by the
         mesh size.
     """
-    if criterion is None:
-        criterion = PhysicsInformedLoss()
     data_shard = batch_sharding(mesh)
     repl = replicated(mesh)
 
-    edge_index = jax.device_put(jnp.asarray(edge_index), repl)
-    mean = jax.device_put(jnp.asarray(state_mean), repl)
-    std = jax.device_put(jnp.asarray(state_std), repl)
-    mass_feat = jax.device_put(jnp.asarray(mass_feat), repl)
-    if masses is not None:
-        masses = jax.device_put(jnp.asarray(masses), repl)
+    base_step = make_train_step(model, tx, edge_index, state_mean, state_std,
+                                mass_feat, noise_std=noise_std, masses=masses,
+                                criterion=criterion)
 
     @partial(jax.jit,
              in_shardings=(repl, repl, data_shard, data_shard, repl),
              out_shardings=(repl, repl, repl))
     def step(params, opt_state, states, targets, key):
-        k_noise, k_drop = jax.random.split(key)
-        s_norm = (states - mean) / std
-        t_norm = (targets - mean) / std
-        if noise_std > 0:
-            s_norm = s_norm + noise_std * jax.random.normal(
-                k_noise, s_norm.shape, s_norm.dtype)
-        pos = s_norm[..., :3]
-        x = jnp.concatenate(
-            [s_norm, jnp.broadcast_to(mass_feat, s_norm.shape[:2] + (1,))],
-            axis=-1)
-
-        def loss_fn(p):
-            pred = forward_batch(model, p, x, edge_index, pos,
-                                 deterministic=False, dropout_rng=k_drop)
-            total, _ = criterion(pred, t_norm, masses)
-            return total
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return base_step(params, opt_state, states, targets, key)
 
     return step

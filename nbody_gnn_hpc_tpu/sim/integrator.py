@@ -33,6 +33,10 @@ class Trajectory(NamedTuple):
     masses: jnp.ndarray         # (N,)
     times: jnp.ndarray          # (n_saves,)
     steps: jnp.ndarray          # (n_saves,)
+    # Simulator state after ALL n_steps, including the trailing partial
+    # save interval that is integrated but not saved (reference semantics:
+    # nbody.py:237-241 advances every step, saving only multiples).
+    final: SimState = None
 
     @property
     def n_steps(self) -> int:
@@ -72,11 +76,16 @@ def run_trajectory(state: SimState, dt, n_steps: int,
     multiple of ``save_interval`` — trailing partial intervals are dropped,
     so n_saves = 1 + n_steps // save_interval.
 
+    The trailing ``n_steps % save_interval`` steps are integrated but not
+    saved (reference semantics nbody.py:237-241); the fully-advanced state
+    is returned as ``Trajectory.final``.
+
     Structure: an outer ``lax.scan`` over save points, each iteration
-    running ``save_interval`` fused steps via an inner ``lax.scan``.  The
-    whole trajectory compiles to one device program.
+    running ``save_interval`` fused steps via an inner ``lax.scan``, plus a
+    tail scan.  The whole trajectory compiles to one device program.
     """
     n_saves = n_steps // save_interval
+    tail = n_steps - n_saves * save_interval
 
     def inner(carry, _):
         return leapfrog_step(carry, dt, softening=softening), None
@@ -87,7 +96,8 @@ def run_trajectory(state: SimState, dt, n_steps: int,
                        carry.time, carry.step)
 
     final, (xs, vs, accs, ts, ks) = jax.lax.scan(outer, state, None, length=n_saves)
-    del final
+    if tail:
+        final, _ = jax.lax.scan(inner, final, None, length=tail)
     # Prepend the initial state (reference saves it before stepping).
     return Trajectory(
         positions=jnp.concatenate([state.positions[None], xs], axis=0),
@@ -96,6 +106,7 @@ def run_trajectory(state: SimState, dt, n_steps: int,
         masses=state.masses,
         times=jnp.concatenate([state.time[None], ts], axis=0),
         steps=jnp.concatenate([state.step[None], ks], axis=0),
+        final=final,
     )
 
 

@@ -156,15 +156,19 @@ class NBodySimulator:
             self._advance_to(traj)
             return traj
 
-        # Verbose: chunk so that energy lines print mid-run.
-        report_every = max(1, n_steps // 10)
+        # Verbose: chunk so that energy lines print mid-run.  Intermediate
+        # chunks must be multiples of save_interval so the global save
+        # cadence (saves at step k*save_interval, nbody.py:240) is
+        # preserved across chunk boundaries; the last chunk takes whatever
+        # remains (its trailing partial interval is integrated, not saved).
+        base = max(save_interval,
+                   (max(1, n_steps // 10) // save_interval) * save_interval)
         chunks = []
         done = 0
         while done < n_steps:
-            todo = min(report_every, n_steps - done)
-            # Keep chunk a multiple of save_interval where possible.
-            todo = max(save_interval, (todo // save_interval) * save_interval) \
-                if save_interval <= todo else todo
+            # min(base, remaining): every chunk but possibly the last is a
+            # multiple of save_interval.
+            todo = min(base, n_steps - done)
             traj = run_trajectory(self.state, self.dt, todo,
                                   save_interval=save_interval,
                                   softening=self.softening)
@@ -183,9 +187,15 @@ class NBodySimulator:
             masses=first.masses,
             times=jnp.concatenate([first.times] + [c.times[1:] for c in rest]),
             steps=jnp.concatenate([first.steps] + [c.steps[1:] for c in rest]),
+            final=chunks[-1].final,
         )
 
     def _advance_to(self, traj) -> None:
+        # traj.final includes the trailing partial save interval (integrated
+        # but unsaved — reference nbody.py:237-241 advances every step).
+        if traj.final is not None:
+            self.state = traj.final
+            return
         self.state = SimState(
             positions=traj.positions[-1],
             velocities=traj.velocities[-1],

@@ -109,7 +109,7 @@ class GNNDataset:
 
         src_stat = os.stat(self.data_path)
         cache_path = self.data_path + ".tensors.npz"
-        tag = f"{src_stat.st_size}:{int(src_stat.st_mtime)}"
+        tag = f"{src_stat.st_size}:{src_stat.st_mtime_ns}"
         if os.path.exists(cache_path):
             try:
                 cached = np.load(cache_path)

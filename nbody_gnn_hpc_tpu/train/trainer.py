@@ -28,8 +28,8 @@ import numpy as np
 import optax
 
 from nbody_gnn_hpc_tpu.io.model_io import load_checkpoint, save_checkpoint
-from nbody_gnn_hpc_tpu.models.gnn import NBodyGNN, forward_batch, init_model
-from nbody_gnn_hpc_tpu.train.loss import PhysicsInformedLoss, mse_loss
+from nbody_gnn_hpc_tpu.models.gnn import NBodyGNN, init_model
+from nbody_gnn_hpc_tpu.train.loss import PhysicsInformedLoss
 from nbody_gnn_hpc_tpu.train.schedule import (cosine_warm_restarts,
                                               make_step_schedule)
 
@@ -128,58 +128,30 @@ class Trainer:
         self.best_val_loss = float("inf")
         self.current_epoch = 0
 
+        from nbody_gnn_hpc_tpu.train.steps import make_train_step
+
+        self._step = make_train_step(
+            self.model, self.tx, self.edge_index, self._mean, self._std,
+            self._mass_feat, noise_std=self.noise_std, masses=self.masses,
+            criterion=self.criterion, use_physics_loss=use_physics_loss)
         self._epoch_fn = self._build_epoch_fn()
         self._val_fn = self._build_val_fn()
 
     # -- jitted programs ------------------------------------------------------
-
-    def _loss_of(self, pred, target):
-        if self.criterion is not None:
-            return self.criterion(pred, target, self.masses)
-        total = mse_loss(pred, target)
-        zero = jnp.asarray(0.0, pred.dtype)
-        return total, {"total": total, "position": zero, "velocity": zero,
-                       "energy": zero, "momentum": zero}
 
     def _build_epoch_fn(self):
         # NOTE: the dataset arrays are jit ARGUMENTS, not closure captures —
         # closed-over device arrays get embedded into the lowered program as
         # constants (hundreds of MB of HLO at production scale, which big
         # compile services reject outright).
-        model, edge_index = self.model, self.edge_index
-        mean, std, mass_feat = self._mean, self._std, self._mass_feat
-        noise_std = self.noise_std
-        batch, n_batches = self._batch, self.steps_per_epoch
-        tx = self.tx
+        step = self._step
 
         def train_step(states, targets, carry, batch_idx):
             params, opt_state, key = carry
-            key, k_noise, k_drop = jax.random.split(key, 3)
-
+            key, k_step = jax.random.split(key)
             s = jnp.take(states, batch_idx, axis=0)      # (B, N, 6) raw
             t = jnp.take(targets, batch_idx, axis=0)
-            s_norm = (s - mean) / std
-            t_norm = (t - mean) / std
-
-            # Input-noise injection on the 6 state features, pos resynced to
-            # the noised positions (train.py:409-415).
-            if noise_std > 0:
-                s_norm = s_norm + noise_std * jax.random.normal(
-                    k_noise, s_norm.shape, s_norm.dtype)
-            pos = s_norm[..., :3]
-            x = jnp.concatenate(
-                [s_norm, jnp.broadcast_to(mass_feat, s.shape[:2] + (1,))],
-                axis=-1)
-
-            def loss_fn(p):
-                pred = forward_batch(model, p, x, edge_index, pos,
-                                     deterministic=False, dropout_rng=k_drop)
-                total, _ = self._loss_of(pred, t_norm)
-                return total
-
-            loss, grads = jax.value_and_grad(loss_fn)(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            params, opt_state, loss = step(params, opt_state, s, t, k_step)
             return (params, opt_state, key), loss
 
         @jax.jit
@@ -194,32 +166,42 @@ class Trainer:
     def _build_val_fn(self):
         if self.val_states is None:
             return None
-        model, edge_index = self.model, self.edge_index
-        mean, std, mass_feat = self._mean, self._std, self._mass_feat
         batch = min(self._batch, self.n_val)
         n_batches = max(1, self.n_val // batch)
+        remainder = self.n_val - n_batches * batch
+        compute_loss = self._step.compute_loss
 
         def val_step_p(params, states, targets, batch_idx):
             s = jnp.take(states, batch_idx, axis=0)
             t = jnp.take(targets, batch_idx, axis=0)
-            s_norm = (s - mean) / std
-            t_norm = (t - mean) / std
-            pos = s_norm[..., :3]
-            x = jnp.concatenate(
-                [s_norm, jnp.broadcast_to(mass_feat, s.shape[:2] + (1,))],
-                axis=-1)
-            pred = forward_batch(model, params, x, edge_index, pos,
-                                 deterministic=True)
-            _, details = self._loss_of(pred, t_norm)
+            _, details = compute_loss(params, s, t, None, deterministic=True)
             return details
 
         @jax.jit
-        def val_fn(params, states, targets):
+        def main_fn(params, states, targets):
             ids = jnp.arange(n_batches * batch).reshape(n_batches, batch)
             _, details = jax.lax.scan(
                 lambda c, b: (c, val_step_p(params, states, targets, b)),
                 None, ids)
-            return jax.tree_util.tree_map(jnp.mean, details)
+            return jax.tree_util.tree_map(jnp.sum, details)
+
+        @jax.jit
+        def tail_fn(params, states, targets):
+            ids = jnp.arange(n_batches * batch, self.n_val)
+            return val_step_p(params, states, targets, ids)
+
+        def val_fn(params, states, targets):
+            # Every sample participates; per-batch losses are equally
+            # weighted including the smaller final batch, matching the
+            # reference's sum/n_batches over a non-drop_last loader
+            # (train.py:448-467).
+            sums = main_fn(params, states, targets)
+            count = n_batches
+            if remainder:
+                tail = tail_fn(params, states, targets)
+                sums = jax.tree_util.tree_map(jnp.add, sums, tail)
+                count += 1
+            return jax.tree_util.tree_map(lambda s: s / count, sums)
 
         return val_fn
 
