@@ -53,8 +53,14 @@ class Trainer:
                  n_epochs: int = 200,
                  seed: int = 0,
                  fast_prng: bool = True,
-                 epoch_chunk: int = 1000):
+                 epoch_chunk: int = 1000,
+                 mesh=None):
+        """``mesh``: optional 1-D ``jax.sharding.Mesh`` (axis 'data') — the
+        per-batch compute is sharded over it (params replicated, gradient
+        psum placed by XLA).  The reference has no training parallelism
+        (SURVEY §2.3); this is the TPU-native extension."""
         del device, num_workers
+        self.mesh = mesh
         if fast_prng:
             # Threefry dropout-mask generation is a measurable share of the
             # train step on TPU (~15 ms/step at production scale); the
@@ -146,11 +152,23 @@ class Trainer:
         # compile services reject outright).
         step = self._step
 
+        if self.mesh is not None:
+            from nbody_gnn_hpc_tpu.parallel.mesh import batch_sharding
+
+            data_sharding = batch_sharding(self.mesh)
+        else:
+            data_sharding = None
+
         def train_step(states, targets, carry, batch_idx):
             params, opt_state, key = carry
             key, k_step = jax.random.split(key)
             s = jnp.take(states, batch_idx, axis=0)      # (B, N, 6) raw
             t = jnp.take(targets, batch_idx, axis=0)
+            if data_sharding is not None:
+                # Split the batch over the mesh; params stay replicated and
+                # XLA inserts the gradient psum over ICI.
+                s = jax.lax.with_sharding_constraint(s, data_sharding)
+                t = jax.lax.with_sharding_constraint(t, data_sharding)
             params, opt_state, loss = step(params, opt_state, s, t, k_step)
             return (params, opt_state, key), loss
 

@@ -39,6 +39,9 @@ def main():
     parser.add_argument("--noise-std", type=float, default=None)
     parser.add_argument("--weight-decay", type=float, default=None)
     parser.add_argument("--k-neighbors", type=int, default=None)
+    parser.add_argument("--data-parallel", action="store_true",
+                        help="Shard each batch over all attached devices "
+                             "(1-D data mesh; params replicated)")
     parser.add_argument("--no-bf16", action="store_true",
                         help="Train matmuls in float32 instead of bfloat16")
     parser.add_argument("--remat", action="store_true",
@@ -132,10 +135,21 @@ def main():
     with open(model_dir / "config.json", "w") as f:
         json.dump(saved_config, f, indent=2, default=str)
 
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from nbody_gnn_hpc_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"  Data parallel:  {mesh.devices.size} devices")
+        del jax
+
     trainer = Trainer(
         model=model,
         train_dataset=train_dataset,
         val_dataset=val_dataset,
+        mesh=mesh,
         model_dir=str(model_dir),
         learning_rate=config.learning_rate,
         batch_size=config.batch_size,
