@@ -11,13 +11,17 @@ Prints exactly one JSON line:
 
 Baseline: the reference's Numba path cannot run here (numba not installed),
 so vs_baseline uses a documented fixed estimate of the reference pipeline on
-its design hardware: the Numba kernel (nbody.py:22-66, prange disabled by the
-datagen thread-pinning to 1 thread/worker, generate_data.py:16-19) retires
-N^2=40k softened pair interactions in ~0.4 ms/step/sim single-thread
-(~100 Mpairs/s, typical for scalar-loop LLVM output with sqrt+div), and the
-mp.Pool uses min(cpu,4)=4 workers (generate_data.py:92) =>
-~10k sim-steps/sec for the full 120k-step datagen.  We round UP to 12,000 to
-be conservative against our own speedup claim.
+its design hardware, now ANCHORED by a measurement on this host: the
+vectorized pure-NumPy f64 port of the same KDK loop
+(nbody_gnn_hpc_tpu/sim/reference_f64.py, `measure_numpy_baseline`) runs at
+a measured ~784 sim-steps/s at N=200 on one core of this machine
+(scripts/calibrate_baseline.py re-measures it). The Numba kernel
+(nbody.py:22-66) replaces that with a scalar fastmath loop — typically
+2-4x vectorized-NumPy per core for this arithmetic profile — and the
+datagen mp.Pool uses min(cpu,4)=4 workers with 1 thread each
+(generate_data.py:16-19,92): 784 x 3 x 4 ~= 9.4k sim-steps/sec for the
+full 120k-step datagen. We round UP to 12,000 to be conservative against
+our own speedup claim.
 
 Timing: the axon-tunneled TPU does not honor block_until_ready, and single
 dispatches pay ~100ms tunnel latency; we therefore chain REPS executions

@@ -10,6 +10,12 @@ from nbody_gnn_hpc_tpu.sim.initial_conditions import (random_initial_conditions,
 from nbody_gnn_hpc_tpu.sim.integrator import (Trajectory, leapfrog_step,
                                               rollout_steps, run_trajectory,
                                               run_trajectory_batch)
+from nbody_gnn_hpc_tpu.sim.reference_f64 import (TrajectoryF64,
+                                                 accelerations_f64,
+                                                 measure_numpy_baseline,
+                                                 protocol_ground_truth,
+                                                 simulate_f64,
+                                                 total_energy_f64)
 from nbody_gnn_hpc_tpu.sim.simulator import (NBodySimulator,
                                              run_parallel_simulations,
                                              trajectory_to_states)
@@ -42,4 +48,6 @@ __all__ = [
     "leapfrog_step", "run_trajectory", "run_trajectory_batch", "rollout_steps",
     "random_initial_conditions", "shared_masses", "make_state",
     "trajectory_to_states", "run_parallel_simulations",
+    "TrajectoryF64", "accelerations_f64", "simulate_f64", "total_energy_f64",
+    "protocol_ground_truth", "measure_numpy_baseline",
 ]

@@ -13,6 +13,7 @@ forces (Pallas-tiled on TPU), which at the reference's BH regime (N>500) is
 both faster on TPU and more accurate than theta=0.5 tree forces.
 """
 
+import warnings
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -50,7 +51,19 @@ class NBodySimulator:
         self.dt = dt
         self.softening = softening
         self.use_barnes_hut = use_barnes_hut  # parity flag; forces are exact
-        self.theta = theta                    # parity flag; unused (see module doc)
+        self.theta = theta                    # parity flag; unused (see below)
+        if use_barnes_hut and theta != 0.5:
+            # The reference's large-N path is a theta-controlled
+            # approximation (barnes_hut.py:367-431); here it is replaced by
+            # EXACT blocked all-pairs (ops/pairwise.py) — equivalent to the
+            # theta→0 limit. A non-default theta therefore changes nothing;
+            # say so instead of silently ignoring it.
+            warnings.warn(
+                f"theta={theta} has no effect: the TPU framework computes "
+                "exact all-pairs forces in the Barnes-Hut regime "
+                "(equivalent to theta=0, strictly more accurate). "
+                "See nbody_gnn_hpc_tpu/ops/pairwise.py.",
+                UserWarning, stacklevel=2)
         self.seed = seed
         self.dtype = dtype
 

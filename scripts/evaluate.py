@@ -39,6 +39,13 @@ def main():
     parser.add_argument("--particles", "-n", type=int, default=200)
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--seed", type=int, default=9999)
+    parser.add_argument("--f64-ground-truth", action="store_true",
+                        help="Generate ground truth with the float64 host "
+                             "oracle (the reference's precision regime, "
+                             "nbody.py:179-184) instead of the f32 TPU "
+                             "ensemble. Slower, but makes RMSE directly "
+                             "comparable with the reference's published "
+                             "numbers.")
     args = parser.parse_args()
 
     model_path = Path(args.model_path)
@@ -80,13 +87,23 @@ def main():
     seq_len = 5  # rollout start (published protocol, evaluate.py:79)
     prediction_steps = args.steps - seq_len - 1
 
-    # All ground truths in one sharded ensemble program.
-    ensemble = simulate_ensemble(
-        seeds=[args.seed + i for i in range(args.n_test_sims)],
-        n_particles=args.particles, n_steps=args.steps, box_size=10.0,
-        dt=0.001, shared_masses=shared_masses)
-    gt_pos = np.asarray(ensemble.positions, np.float64)
-    gt_vel = np.asarray(ensemble.velocities, np.float64)
+    if args.f64_ground_truth:
+        # Reference-precision oracle on the host CPU (published protocol).
+        from nbody_gnn_hpc_tpu.sim import protocol_ground_truth
+
+        print("  (ground truth: float64 host oracle)")
+        gt_pos, gt_vel, _ = protocol_ground_truth(
+            n_test_sims=args.n_test_sims, n_particles=args.particles,
+            n_steps=args.steps, dt=0.001, box_size=10.0, seed=args.seed,
+            verbose=True)
+    else:
+        # All ground truths in one sharded ensemble program (f32, on device).
+        ensemble = simulate_ensemble(
+            seeds=[args.seed + i for i in range(args.n_test_sims)],
+            n_particles=args.particles, n_steps=args.steps, box_size=10.0,
+            dt=0.001, shared_masses=shared_masses)
+        gt_pos = np.asarray(ensemble.positions, np.float64)
+        gt_vel = np.asarray(ensemble.velocities, np.float64)
 
     test_results = []
     viz = None
@@ -173,6 +190,8 @@ def main():
         "n_test_simulations": args.n_test_sims,
         "n_particles": args.particles,
         "n_steps": args.steps,
+        "ground_truth": ("float64_host" if args.f64_ground_truth
+                         else "float32_tpu"),
         "average_metrics": avg_metrics,
         "per_simulation_metrics": test_results,
     }

@@ -1,141 +1,139 @@
 #!/usr/bin/env python3
-"""Export evaluation/trajectory/training data to CSV for readability.
+"""Export evaluation results, a sample trajectory, and training history to CSV.
 
-CLI + artifact parity: reference ``scripts/export_csv.py`` — same output
-files (metrics_summary.csv, metrics_per_simulation.csv, sample_trajectory.csv,
-simulation_info.csv, training_history.csv) with the same columns.
+Artifact parity with the reference exporter (same five output files with the
+same columns — /root/reference/scripts/export_csv.py:25-169), implemented as
+a set of table builders feeding one generic CSV writer. Each builder returns
+``(filename, header, rows)`` tables or an explanatory skip message.
 
 Usage:
-    python scripts/export_csv.py
+    python scripts/export_csv.py [-d DATA] [-m MODELS] [-r RESULTS] [-o OUT]
 """
 
 import argparse
 import csv
 import json
-import sys
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).parent.parent))
+
+def sci(x):
+    """Render floats in scientific notation, pass everything else through."""
+    return f"{x:.6e}" if isinstance(x, float) else x
 
 
-def export_metrics_csv(results_path: Path, output_dir: Path):
-    results_file = results_path / "evaluation_results.json"
-    if not results_file.exists():
-        print(f"  ! No evaluation results found at {results_file}")
+def write_table(out_dir: Path, filename: str, header, rows) -> Path:
+    path = out_dir / filename
+    with open(path, "w", newline="") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(header)
+        writer.writerows(rows)
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Table builders — each yields (filename, header, rows, note) tuples.
+# ---------------------------------------------------------------------------
+
+SUMMARY_METRICS = ("position_rmse", "position_mae",
+                   "velocity_rmse", "velocity_mae")
+
+
+def metrics_tables(results_dir: Path):
+    src = results_dir / "evaluation_results.json"
+    if not src.exists():
+        print(f"  ! No evaluation results found at {src}")
         return
-    with open(results_file) as f:
-        results = json.load(f)
+    results = json.loads(src.read_text())
 
-    summary_csv = output_dir / "metrics_summary.csv"
-    with open(summary_csv, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["Metric", "Value", "Std Dev"])
-        avg = results.get("average_metrics", {})
-        for m in ("position_rmse", "position_mae", "velocity_rmse",
-                  "velocity_mae"):
-            if m in avg:
-                writer.writerow([m, f"{avg[m]:.6e}",
-                                 f"{avg.get(m + '_std', 0):.6e}"])
-    print(f"  + Metrics summary: {summary_csv}")
+    avg = results.get("average_metrics", {})
+    summary_rows = [(name, sci(avg[name]), sci(avg.get(f"{name}_std", 0.0)))
+                    for name in SUMMARY_METRICS if name in avg]
+    yield ("metrics_summary.csv", ("Metric", "Value", "Std Dev"),
+           summary_rows, "Metrics summary")
 
     per_sim = results.get("per_simulation_metrics", [])
     if per_sim:
-        per_sim_csv = output_dir / "metrics_per_simulation.csv"
-        with open(per_sim_csv, "w", newline="") as f:
-            writer = csv.writer(f)
-            keys = [k for k in per_sim[0].keys()
-                    if not k.startswith("trajectory_distances")]
-            writer.writerow(["simulation_id"] + keys)
-            for i, sim in enumerate(per_sim):
-                row = [i + 1]
-                for k in keys:
-                    val = sim.get(k, "")
-                    row.append(f"{val:.6e}" if isinstance(val, float) else val)
-                writer.writerow(row)
-        print(f"  + Per-simulation metrics: {per_sim_csv}")
+        columns = [c for c in per_sim[0]
+                   if not c.startswith("trajectory_distances")]
+        rows = [[sim_id] + [sci(record.get(c, "")) for c in columns]
+                for sim_id, record in enumerate(per_sim, start=1)]
+        yield ("metrics_per_simulation.csv", ["simulation_id"] + columns,
+               rows, "Per-simulation metrics")
 
 
-def export_trajectory_csv(data_dir: Path, output_dir: Path, sim_id: int = 0):
+TRAJ_HEADER = ("timestep", "time", "particle_id", "mass",
+               "pos_x", "pos_y", "pos_z", "vel_x", "vel_y", "vel_z")
+
+
+def trajectory_tables(data_dir: Path, sim_id: int = 0,
+                      max_steps: int = 50, max_particles: int = 5):
     try:
         import h5py
     except ImportError:
         print("  ! h5py not installed, skipping trajectory export")
         return
-
-    checkpoints = data_dir / "checkpoints"
-    if not checkpoints.exists():
-        print(f"  ! No checkpoints found at {checkpoints}")
+    candidates = sorted((data_dir / "checkpoints").glob("*_trajectory.h5")) \
+        if (data_dir / "checkpoints").exists() else []
+    if not candidates:
+        print(f"  ! No trajectory files found under {data_dir}/checkpoints")
         return
-    traj_files = sorted(checkpoints.glob("*_trajectory.h5"))
-    if not traj_files:
-        print("  ! No trajectory files found")
+    source = candidates[min(sim_id, len(candidates) - 1)]
+
+    with h5py.File(source, "r") as fh:
+        n_steps, n_particles = fh["positions"].shape[:2]
+        steps = min(max_steps, n_steps)
+        parts = min(max_particles, n_particles)
+        pos = fh["positions"][:steps, :parts]
+        vel = fh["velocities"][:steps, :parts]
+        mass = fh["masses"][:parts]
+        times = fh["times"][:steps]
+        t_first, t_last = fh["times"][0], fh["times"][-1]
+
+    def traj_rows():
+        for t in range(steps):
+            for p in range(parts):
+                yield (t, f"{times[t]:.6f}", p, f"{mass[p]:.6e}",
+                       *(f"{pos[t, p, axis]:.6e}" for axis in range(3)),
+                       *(f"{vel[t, p, axis]:.6e}" for axis in range(3)))
+
+    yield ("sample_trajectory.csv", TRAJ_HEADER, traj_rows(),
+           f"Sample trajectory ({steps} steps, {parts} particles)")
+
+    info_rows = (("Total Particles", n_particles),
+                 ("Total Timesteps", n_steps),
+                 ("Time Range", f"{t_first:.4f} to {t_last:.4f}"),
+                 ("Source File", source.name))
+    yield ("simulation_info.csv", ("Parameter", "Value"), info_rows,
+           "Simulation info")
+
+
+def history_tables(model_dir: Path):
+    src = model_dir / "training_history.json"
+    if not src.exists():
+        print(f"  ! No training history found at {src}")
         return
-    traj_file = traj_files[min(sim_id, len(traj_files) - 1)]
+    history = json.loads(src.read_text())
 
-    with h5py.File(traj_file, "r") as f:
-        positions = f["positions"][:]
-        velocities = f["velocities"][:]
-        masses = f["masses"][:]
-        times = f["times"][:]
+    def series(key):
+        return history.get(key) or []
 
-    n_steps, n_particles, _ = positions.shape
-    sample_particles = min(5, n_particles)
-    sample_steps = min(50, n_steps)
-
-    traj_csv = output_dir / "sample_trajectory.csv"
-    with open(traj_csv, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["timestep", "time", "particle_id", "mass",
-                         "pos_x", "pos_y", "pos_z",
-                         "vel_x", "vel_y", "vel_z"])
-        for t in range(sample_steps):
-            for p in range(sample_particles):
-                writer.writerow([
-                    t, f"{times[t]:.6f}", p, f"{masses[p]:.6e}",
-                    f"{positions[t, p, 0]:.6e}", f"{positions[t, p, 1]:.6e}",
-                    f"{positions[t, p, 2]:.6e}",
-                    f"{velocities[t, p, 0]:.6e}",
-                    f"{velocities[t, p, 1]:.6e}",
-                    f"{velocities[t, p, 2]:.6e}"])
-    print(f"  + Sample trajectory ({sample_steps} steps, {sample_particles} "
-          f"particles): {traj_csv}")
-
-    info_csv = output_dir / "simulation_info.csv"
-    with open(info_csv, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["Parameter", "Value"])
-        writer.writerow(["Total Particles", n_particles])
-        writer.writerow(["Total Timesteps", n_steps])
-        writer.writerow(["Time Range", f"{times[0]:.4f} to {times[-1]:.4f}"])
-        writer.writerow(["Source File", traj_file.name])
-    print(f"  + Simulation info: {info_csv}")
+    train, val, lrs = series("train_loss"), series("val_loss"), \
+        series("learning_rate")
+    rows = [(epoch + 1,
+             f"{train[epoch]:.6e}",
+             f"{val[epoch]:.6e}" if epoch < len(val) else "",
+             f"{lrs[epoch]:.6e}" if epoch < len(lrs) else "")
+            for epoch in range(len(train))]
+    yield ("training_history.csv",
+           ("epoch", "train_loss", "val_loss", "learning_rate"),
+           rows, "Training history")
 
 
-def export_training_csv(model_dir: Path, output_dir: Path):
-    history_file = model_dir / "training_history.json"
-    if not history_file.exists():
-        print(f"  ! No training history found at {history_file}")
-        return
-    with open(history_file) as f:
-        history = json.load(f)
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
 
-    training_csv = output_dir / "training_history.csv"
-    with open(training_csv, "w", newline="") as f:
-        writer = csv.writer(f)
-        writer.writerow(["epoch", "train_loss", "val_loss", "learning_rate"])
-        for i in range(len(history.get("train_loss", []))):
-            writer.writerow([
-                i + 1,
-                f"{history['train_loss'][i]:.6e}",
-                f"{history['val_loss'][i]:.6e}"
-                if history.get("val_loss") else "",
-                f"{history['learning_rate'][i]:.6e}"
-                if history.get("learning_rate") else "",
-            ])
-    print(f"  + Training history: {training_csv}")
-
-
-def main():
+def main() -> None:
     parser = argparse.ArgumentParser(description="Export data to CSV")
     parser.add_argument("--data-dir", "-d", type=str, default="./data")
     parser.add_argument("--model-dir", "-m", type=str, default="./models")
@@ -144,28 +142,33 @@ def main():
                         default="./results/csv")
     args = parser.parse_args()
 
-    output_dir = Path(args.output_dir)
-    output_dir.mkdir(parents=True, exist_ok=True)
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
 
-    print("=" * 50)
-    print("EXPORTING DATA TO CSV")
-    print("=" * 50)
-    print(f"Output directory: {output_dir}\n")
+    rule = "=" * 50
+    print(f"{rule}\nEXPORTING DATA TO CSV\n{rule}")
+    print(f"Output directory: {out_dir}\n")
 
-    print("Exporting evaluation metrics...")
-    export_metrics_csv(Path(args.results_dir), output_dir)
-    print("\nExporting sample trajectory...")
-    export_trajectory_csv(Path(args.data_dir), output_dir)
-    print("\nExporting training history...")
-    export_training_csv(Path(args.model_dir), output_dir)
+    sections = (
+        ("Exporting evaluation metrics...",
+         metrics_tables(Path(args.results_dir))),
+        ("Exporting sample trajectory...",
+         trajectory_tables(Path(args.data_dir))),
+        ("Exporting training history...",
+         history_tables(Path(args.model_dir))),
+    )
+    for heading, tables in sections:
+        print(heading)
+        for filename, header, rows, note in tables:
+            path = write_table(out_dir, filename, header, rows)
+            print(f"  + {note}: {path}")
+        print()
 
-    print("\n" + "=" * 50)
-    print("CSV EXPORT COMPLETE")
-    print("=" * 50)
-    print(f"\nAll CSV files saved to: {output_dir}/")
+    print(f"{rule}\nCSV EXPORT COMPLETE\n{rule}")
+    print(f"\nAll CSV files saved to: {out_dir}/")
     print("\nFiles created:")
-    for f in output_dir.glob("*.csv"):
-        print(f"  - {f.name}")
+    for produced in sorted(out_dir.glob("*.csv")):
+        print(f"  - {produced.name}")
 
 
 if __name__ == "__main__":

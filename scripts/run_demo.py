@@ -1,14 +1,15 @@
 #!/usr/bin/env python3
-"""Full demo pipeline: Clean -> Generate Data -> Train GNN -> Evaluate -> CSV.
+"""End-to-end pipeline driver: clean -> datagen -> train -> evaluate -> CSV.
 
-CLI parity: reference ``scripts/run_demo.py`` — same stages, flags
-(--skip-training / --skip-datagen / --no-clean / --max-samples), subprocess
-isolation with exit-on-failure, and the same cleaned paths.
+Behavior parity with the reference's orchestrator (same stage order, same
+flags ``--skip-training/--skip-datagen/--no-clean/--max-samples``, same
+subprocess isolation and exit-on-failure, same cleaned artifacts — see
+/root/reference/scripts/run_demo.py:26-94), implemented here as a declarative
+stage table executed by a tiny runner.
 
 Usage:
-    python scripts/run_demo.py
-    python scripts/run_demo.py --skip-training
-    python scripts/run_demo.py --skip-datagen
+    python scripts/run_demo.py [--skip-training] [--skip-datagen]
+                               [--no-clean] [--max-samples N]
 """
 
 import argparse
@@ -16,70 +17,152 @@ import shutil
 import subprocess
 import sys
 import time
+from dataclasses import dataclass
 from pathlib import Path
+from typing import Callable, List, Optional
 
-sys.path.insert(0, str(Path(__file__).parent.parent))
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
 
 from nbody_gnn_hpc_tpu.config import TrainingConfig
 
+# ---------------------------------------------------------------------------
+# Workspace cleaning: everything removable is listed here, as glob patterns
+# relative to the repo root. ``fresh_data_only`` entries survive when the
+# user asked to reuse existing datasets (--skip-datagen).
+# ---------------------------------------------------------------------------
 
-def run_command(cmd, description):
-    print(f"\n{'=' * 60}")
-    print(f"STEP: {description}")
-    print(f"{'=' * 60}")
-    print(f"Running: {' '.join(cmd)}\n")
-    start = time.time()
-    result = subprocess.run(cmd, cwd=Path(__file__).parent.parent)
-    elapsed = time.time() - start
-    if result.returncode != 0:
-        print(f"\nError: {description} failed with code {result.returncode}")
-        sys.exit(1)
-    print(f"\nCompleted in {elapsed:.1f}s ({elapsed / 60:.1f} min)")
-    return result
+CLEAN_MANIFEST = (
+    # (glob pattern, removed when --skip-datagen?)
+    ("results", False),
+    ("models/best_model.pt", False),
+    ("models/final_model.pt", False),
+    ("models/checkpoint_epoch_*.pt", False),
+    ("models/training_history.json", False),
+    ("models/config.json", False),
+    ("data/checkpoints", True),
+    ("data/train_dataset.h5", True),
+    ("data/val_dataset.h5", True),
+)
+
+WORKSPACE_DIRS = ("data", "models", "results")
 
 
-def clean_previous_results(project_root: Path, keep_data: bool = False):
-    """Delete previous data/models/results (parity: run_demo.py:45-94)."""
-    print(f"\n{'=' * 60}")
-    print("STEP: Cleaning Previous Results")
-    print(f"{'=' * 60}")
-
-    dirs_to_clean = [("results", "Results")]
-    if not keep_data:
-        dirs_to_clean.insert(0, ("data/checkpoints", "Checkpoints"))
-
-    files_to_clean = [
-        "models/best_model.pt",
-        "models/final_model.pt",
-        "models/training_history.json",
-        "models/config.json",
-    ]
-    if not keep_data:
-        files_to_clean += ["data/train_dataset.h5", "data/val_dataset.h5"]
-
-    models_dir = project_root / "models"
-    if models_dir.exists():
-        for f in models_dir.glob("checkpoint_epoch_*.pt"):
-            files_to_clean.append(str(f.relative_to(project_root)))
-
-    for dir_path, label in dirs_to_clean:
-        full = project_root / dir_path
-        if full.exists():
-            shutil.rmtree(full)
-            print(f"  Deleted {label}: {dir_path}")
-
-    for file_path in files_to_clean:
-        full = project_root / file_path
-        if full.exists():
-            full.unlink()
-            print(f"  Deleted: {file_path}")
-
-    for d in ("data", "models", "results"):
-        (project_root / d).mkdir(exist_ok=True)
+def clean_workspace(keep_data: bool) -> None:
+    banner("Cleaning Previous Results")
+    for pattern, is_data in CLEAN_MANIFEST:
+        if is_data and keep_data:
+            continue
+        for target in sorted(REPO.glob(pattern)):
+            if target.is_dir():
+                shutil.rmtree(target)
+            else:
+                target.unlink()
+            print(f"  Deleted: {target.relative_to(REPO)}")
+    for name in WORKSPACE_DIRS:
+        (REPO / name).mkdir(exist_ok=True)
     print("  Clean complete!\n")
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Stage table
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Stage:
+    title: str
+    argv: Callable[[argparse.Namespace, TrainingConfig], List[str]]
+    # Returns a message if the stage should be skipped, else None.
+    skip: Callable[[argparse.Namespace], Optional[str]] = lambda a: None
+    # Raises SystemExit with a message if prerequisites are missing.
+    precheck: Callable[[argparse.Namespace], None] = lambda a: None
+
+
+def _datagen_argv(args, cfg):
+    return ["generate_data.py",
+            "--particles", str(cfg.particles),
+            "--simulations", str(cfg.simulations),
+            "--steps", str(cfg.steps),
+            "--sequence-length", str(cfg.sequence_length),
+            "--workers", str(cfg.workers)]
+
+
+def _train_argv(args, cfg):
+    argv = ["train_model.py", "--physics-loss", "--epochs", str(cfg.epochs)]
+    if args.max_samples:
+        argv += ["--max-samples", str(args.max_samples)]
+    return argv
+
+
+def _evaluate_argv(args, cfg):
+    return ["evaluate.py",
+            "--n-test-sims", str(cfg.n_test_sims),
+            "--particles", str(cfg.particles),
+            "--steps", str(cfg.steps)]
+
+
+def _require_dataset(args):
+    if args.skip_datagen and not (REPO / "data/train_dataset.h5").exists():
+        sys.exit("Error: --skip-datagen specified but no training data found!")
+
+
+PIPELINE = (
+    Stage("Generating Training Data", _datagen_argv,
+          skip=lambda a: "using existing data" if a.skip_datagen else None,
+          precheck=_require_dataset),
+    Stage("Training GNN Model", _train_argv,
+          skip=lambda a: "using existing model" if a.skip_training else None),
+    Stage("Evaluating AI vs HPC", _evaluate_argv),
+    Stage("Exporting Results to CSV", lambda a, c: ["export_csv.py"]),
+)
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+def banner(text: str) -> None:
+    rule = "=" * 60
+    print(f"\n{rule}\nSTEP: {text}\n{rule}")
+
+
+def execute(stage: Stage, args: argparse.Namespace,
+            cfg: TrainingConfig) -> None:
+    stage.precheck(args)
+    why_skip = stage.skip(args)
+    if why_skip is not None:
+        print(f"\n[Skipping {stage.title.lower()} - {why_skip}]")
+        return
+    argv = stage.argv(args, cfg)
+    argv[0] = str(REPO / "scripts" / argv[0])
+    banner(stage.title)
+    print(f"Running: {' '.join([sys.executable] + argv)}\n")
+    t0 = time.time()
+    proc = subprocess.run([sys.executable] + argv, cwd=REPO)
+    dt = time.time() - t0
+    if proc.returncode != 0:
+        print(f"\nError: {stage.title} failed with code {proc.returncode}")
+        sys.exit(1)
+    print(f"\nCompleted in {dt:.1f}s ({dt / 60:.1f} min)")
+
+
+def print_header(cfg: TrainingConfig) -> None:
+    rule = "=" * 60
+    rows = {
+        "Particles": cfg.particles, "Simulations": cfg.simulations,
+        "Steps": cfg.steps, "Hidden Dim": cfg.hidden_dim,
+        "Layers": cfg.n_layers, "Dropout": cfg.dropout,
+        "k-Neighbors": cfg.k_neighbors, "Batch Size": cfg.batch_size,
+        "Noise Std": cfg.noise_std, "Weight Decay": cfg.weight_decay,
+        "Device": cfg.get_device(),
+    }
+    print(f"\n{rule}\nAI-HPC N-BODY GNN PIPELINE (TPU)\n{rule}")
+    for label, value in rows.items():
+        print(f"  {label + ':':<14}{value}")
+    print(rule)
+
+
+def main() -> None:
     parser = argparse.ArgumentParser(
         description="Run full AI-HPC demo pipeline")
     parser.add_argument("--skip-training", action="store_true",
@@ -92,79 +175,25 @@ def main():
                         help="Limit training samples (default: use all)")
     args = parser.parse_args()
 
-    config = TrainingConfig()
-    project_root = Path(__file__).parent.parent
-    scripts_dir = Path(__file__).parent
-    python = sys.executable
-
-    print("\n" + "=" * 60)
-    print("AI-HPC N-BODY GNN PIPELINE (TPU)")
-    print("=" * 60)
-    for label, v in (("Particles", config.particles),
-                     ("Simulations", config.simulations),
-                     ("Steps", config.steps),
-                     ("Hidden Dim", config.hidden_dim),
-                     ("Layers", config.n_layers),
-                     ("Dropout", config.dropout),
-                     ("k-Neighbors", config.k_neighbors),
-                     ("Batch Size", config.batch_size),
-                     ("Noise Std", config.noise_std),
-                     ("Weight Decay", config.weight_decay),
-                     ("Device", config.get_device())):
-        print(f"  {label + ':':<14}{v}")
-    print("=" * 60)
-
-    total_start = time.time()
+    cfg = TrainingConfig()
+    print_header(cfg)
+    t0 = time.time()
 
     if not args.no_clean:
-        clean_previous_results(project_root, keep_data=args.skip_datagen)
+        clean_workspace(keep_data=args.skip_datagen)
 
-    if args.skip_datagen:
-        if not (project_root / "data" / "train_dataset.h5").exists():
-            print("Error: --skip-datagen specified but no training data "
-                  "found!")
-            sys.exit(1)
-        print("\n[Skipping data generation - using existing data]")
-    else:
-        run_command([
-            python, str(scripts_dir / "generate_data.py"),
-            "--particles", str(config.particles),
-            "--simulations", str(config.simulations),
-            "--steps", str(config.steps),
-            "--sequence-length", str(config.sequence_length),
-            "--workers", str(config.workers),
-        ], "Generating Training Data")
+    for stage in PIPELINE:
+        execute(stage, args, cfg)
 
-    if not args.skip_training:
-        cmd = [python, str(scripts_dir / "train_model.py"), "--physics-loss",
-               "--epochs", str(config.epochs)]
-        if args.max_samples:
-            cmd += ["--max-samples", str(args.max_samples)]
-        run_command(cmd, "Training GNN Model")
-    else:
-        print("\n[Skipping training - using existing model]")
-
-    run_command([
-        python, str(scripts_dir / "evaluate.py"),
-        "--n-test-sims", str(config.n_test_sims),
-        "--particles", str(config.particles),
-        "--steps", str(config.steps),
-    ], "Evaluating AI vs HPC")
-
-    export_script = scripts_dir / "export_csv.py"
-    if export_script.exists():
-        run_command([python, str(export_script)], "Exporting Results to CSV")
-
-    total_elapsed = time.time() - total_start
-    print("\n" + "=" * 60)
-    print("PIPELINE COMPLETE!")
-    print("=" * 60)
-    print(f"\nTotal time: {total_elapsed:.1f}s ({total_elapsed / 60:.1f} min)")
+    dt = time.time() - t0
+    rule = "=" * 60
+    print(f"\n{rule}\nPIPELINE COMPLETE!\n{rule}")
+    print(f"\nTotal time: {dt:.1f}s ({dt / 60:.1f} min)")
     print("\nOutputs:")
     print("  - data/       (training & validation datasets)")
     print("  - models/     (trained model & training history)")
     print("  - results/    (evaluation metrics & plots)")
-    print("=" * 60)
+    print(rule)
 
 
 if __name__ == "__main__":

@@ -21,24 +21,34 @@ from nbody_gnn_hpc_tpu.models import count_parameters
 from nbody_gnn_hpc_tpu.train import GNNDataset, Trainer
 
 
-def main():
+# Flags that override a TrainingConfig field of the same name when given.
+# Each row: (long flag, short flag or None, type). The flag set is the parity
+# surface with the reference CLI; the override loop below applies them.
+CONFIG_FLAGS = (
+    ("--epochs", "-e", int),
+    ("--batch-size", "-b", int),
+    ("--learning-rate", "-lr", float),
+    ("--hidden-dim", None, int),
+    ("--n-layers", None, int),
+    ("--early-stopping", None, int),
+    ("--workers", "-w", int),
+    ("--dropout", None, float),
+    ("--noise-std", None, float),
+    ("--weight-decay", None, float),
+    ("--k-neighbors", None, int),
+)
+
+
+def build_parser():
     parser = argparse.ArgumentParser(description="Train N-Body GNN Model")
-    parser.add_argument("--epochs", "-e", type=int, default=None)
-    parser.add_argument("--batch-size", "-b", type=int, default=None)
-    parser.add_argument("--learning-rate", "-lr", type=float, default=None)
-    parser.add_argument("--hidden-dim", type=int, default=None)
-    parser.add_argument("--n-layers", type=int, default=None)
+    for flag, short, typ in CONFIG_FLAGS:
+        names = (flag, short) if short else (flag,)
+        parser.add_argument(*names, type=typ, default=None)
     parser.add_argument("--data-dir", "-d", type=str, default="./data")
     parser.add_argument("--model-dir", "-o", type=str, default="./models")
-    parser.add_argument("--early-stopping", type=int, default=None)
     parser.add_argument("--physics-loss", action="store_true", default=True)
-    parser.add_argument("--workers", "-w", type=int, default=None)
     parser.add_argument("--max-samples", type=int, default=None,
                         help="Limit training samples (default: use all)")
-    parser.add_argument("--dropout", type=float, default=None)
-    parser.add_argument("--noise-std", type=float, default=None)
-    parser.add_argument("--weight-decay", type=float, default=None)
-    parser.add_argument("--k-neighbors", type=int, default=None)
     parser.add_argument("--data-parallel", action="store_true",
                         help="Shard each batch over all attached devices "
                              "(1-D data mesh; params replicated)")
@@ -52,15 +62,18 @@ def main():
                              "(e.g. final_model.pt). The reference's "
                              "Trainer.load_model existed but no CLI wired "
                              "it up (SURVEY §5); this does.")
-    args = parser.parse_args()
+    return parser
+
+
+def main():
+    args = build_parser().parse_args()
 
     config = TrainingConfig()
-    for name in ("batch_size", "epochs", "learning_rate", "hidden_dim",
-                 "n_layers", "early_stopping", "workers", "dropout",
-                 "noise_std", "weight_decay", "k_neighbors"):
-        val = getattr(args, name, None)
-        if val is not None:
-            setattr(config, name, val)
+    for flag, _, _ in CONFIG_FLAGS:
+        field = flag.lstrip("-").replace("-", "_")
+        override = getattr(args, field)
+        if override is not None:
+            setattr(config, field, override)
 
     device = config.get_device()
     data_dir = Path(args.data_dir)
