@@ -30,7 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from nbody_gnn_hpc_tpu.ops.edges import aggregate_to_targets, edge_features
+from nbody_gnn_hpc_tpu.ops.edges import edge_features
 
 EDGE_DIM = 5  # distance(1) + direction(3) + inv_dist_sq(1) — model.py:88
 
@@ -58,6 +58,46 @@ class _MLPBlock(nn.Module):
         return nn.Dense(self.out, dtype=self.dtype)(x).astype(jnp.float32)
 
 
+def target_adjacency(edge_index, n_nodes: int, dtype=jnp.bfloat16):
+    """(adj, deg) for matmul aggregation: adj[t, e] = 1 iff edge e's target
+    is node t (exact in bfloat16), deg[t] = in-degree as float32.
+
+    ``adj @ messages`` sums each target's incoming messages on the MXU with
+    float32 accumulation — replacing the scatter-add that TPU lowers slowly.
+    The k-NN relation is NOT target-regular (in-degree varies around k), so
+    a dense (N, k) transpose table doesn't exist; the one-hot matmul handles
+    the irregularity for free.
+    """
+    targets = edge_index[1]
+    adj = (targets[None, :] == jnp.arange(n_nodes)[:, None]).astype(dtype)
+    deg = jnp.zeros((n_nodes,), jnp.float32).at[targets].add(1.0)
+    return adj, deg
+
+
+class _AggregatedDense(nn.Module):
+    """The edge-output Dense pulled through the sum aggregation.
+
+    Per-edge messages are ``z_e @ W + b``; their sum over the deg_t edges
+    into target t is ``(Σ z_e) @ W + deg_t · b`` — algebraically identical,
+    but the (E, H) message tensor never exists: the aggregation runs on the
+    pre-Dense activations and the Dense on the (N, H) result. Parameter
+    names/shapes/init match ``nn.Dense(name='edge_out')`` exactly, so
+    round-1 checkpoints load unchanged.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, summed, deg):
+        in_dim = summed.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (in_dim, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = summed.astype(self.dtype) @ kernel.astype(self.dtype)
+        return y.astype(jnp.float32) + deg[:, None] * bias
+
+
 class ParticleInteractionLayer(nn.Module):
     """Message-passing layer (parity: ``model.py:22-65``).
 
@@ -65,15 +105,17 @@ class ParticleInteractionLayer(nn.Module):
     (x_i, x_j) with i = target = edge_index[1]; sum-aggregated at targets;
     node update node_mlp([h, agg]).
 
-    TPU optimization (math-identical): the first edge Dense on the
-    concatenation [h_i, h_j, e] is decomposed as
-        W^T [h_i; h_j; e] + b = (W_t^T h)_i + (W_s^T h)_j + W_e^T e + b,
-    so the two node projections run at NODE granularity (N rows) and are
-    gathered per edge — this removes the (E, 2H+5) concat materialization
-    and turns the dominant (E, 2H+5) x (2H+5, H) matmul into two tiny
-    (N, H) x (H, H) matmuls plus gathers.  The step is HBM-bound at E=192k
-    per batch; same weights, same math, ~half the edge traffic and FLOPs.
-    Parameter count is unchanged (the kernel is split; one bias).
+    TPU optimizations (math-identical; same parameter tree):
+
+    1. The first edge Dense on the concatenation [h_i, h_j, e] is decomposed
+       as W^T [h_i; h_j; e] + b = (W_t^T h)_i + (W_s^T h)_j + W_e^T e + b,
+       so the two node projections run at NODE granularity and are gathered
+       per edge — no (E, 2H+5) concat, and the dominant matmul shrinks to
+       two (N, H) x (H, H) ones plus gathers.
+    2. Aggregation is an MXU matmul against a one-hot target adjacency
+       (f32 accumulation) instead of a scatter-add, and the edge-output
+       Dense is pulled through the sum (``_AggregatedDense``), so the only
+       (E, H) tensors are the fused LN→SiLU→dropout activation stream.
     """
 
     node_features: int
@@ -82,8 +124,11 @@ class ParticleInteractionLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, h, edge_index, edge_attr, deterministic: bool = True):
+    def __call__(self, h, edge_index, edge_attr, deterministic: bool = True,
+                 adj=None, deg=None):
         n_nodes = h.shape[0]
+        if adj is None or deg is None:
+            adj, deg = target_adjacency(edge_index, n_nodes, self.dtype)
         # Decomposed Dense(2H+5 -> H): target/source node projections + edge
         # feature projection (bias lives on the target projection only).
         t_proj = nn.Dense(self.hidden_dim, dtype=self.dtype,
@@ -95,18 +140,19 @@ class ParticleInteractionLayer(nn.Module):
         z = (jnp.take(t_proj, edge_index[1], axis=0)
              + jnp.take(s_proj, edge_index[0], axis=0)
              + e_proj)                                           # (E, H)
-        # LayerNorm -> SiLU -> Dropout -> Dense (model.py:40-43), kept in
-        # the compute dtype end-to-end: the (E, H) stream is the bandwidth
-        # bottleneck and these activations are normalized (bf16-safe).
+        # LayerNorm -> SiLU -> Dropout (model.py:40-43), kept in the compute
+        # dtype end-to-end: the (E, H) stream is the bandwidth bottleneck
+        # and these activations are normalized (bf16-safe).
         z = nn.LayerNorm(dtype=self.dtype, name="edge_norm")(z)
         z = nn.silu(z)
         z = nn.Dropout(self.dropout, deterministic=deterministic)(z)
-        messages = nn.Dense(self.hidden_dim, dtype=self.dtype,
-                            name="edge_out")(z)                  # (E, H)
 
-        # Sum-aggregate at targets, accumulating in f32.
-        agg = aggregate_to_targets(messages.astype(jnp.float32), edge_index,
-                                   n_nodes)
+        # Sum-aggregate at targets on the MXU (f32 accumulation), then the
+        # pulled-through edge-output Dense.
+        summed = jnp.matmul(adj, z.astype(self.dtype),
+                            preferred_element_type=jnp.float32)  # (N, H)
+        agg = _AggregatedDense(self.hidden_dim, dtype=self.dtype,
+                               name="edge_out")(summed, deg)
         node_in = jnp.concatenate([h, agg], axis=-1)
         return _MLPBlock(self.hidden_dim, self.node_features, self.dropout,
                          dtype=self.dtype,
@@ -140,6 +186,10 @@ class NBodyGNN(nn.Module):
         if pos is None:
             pos = x[:, :3]
         edge_attr = edge_features(pos, edge_index)  # once, shared by layers
+        # One-hot target adjacency + in-degree, shared by all layers (and,
+        # under vmap, by the whole batch — it depends only on the static
+        # edge set).
+        adj, deg = target_adjacency(edge_index, x.shape[0], self.dtype)
 
         h = _MLPBlock(self.hidden_dim, self.hidden_dim, self.dropout,
                       dtype=self.dtype, name="node_encoder")(x, deterministic)
@@ -156,7 +206,7 @@ class NBodyGNN(nn.Module):
             h_new = layer_cls(
                 node_features=self.hidden_dim, hidden_dim=self.hidden_dim,
                 dropout=self.dropout, dtype=self.dtype, name=f"layer_{i}")(
-                    h, edge_index, edge_attr, deterministic)
+                    h, edge_index, edge_attr, deterministic, adj, deg)
             h = nn.LayerNorm(name=f"norm_{i}")(h + h_new)
 
         # Decoder (model.py:111-122) with zero-init final layer (the final

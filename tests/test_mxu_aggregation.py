@@ -1,0 +1,107 @@
+"""MXU matmul-aggregation redesign: math parity with the scatter
+formulation and checkpoint compatibility (round-2 perf work, VERDICT item 3).
+
+The interaction layer now (1) sums messages via a one-hot target-adjacency
+matmul instead of ``segment_sum`` and (2) pulls the edge-output Dense through
+the sum: Σ_e (z_e W + b) = (Σ_e z_e) W + deg·b. Both are algebraic
+identities; these tests pin them numerically and pin the parameter tree so
+round-1 checkpoints keep loading.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nbody_gnn_hpc_tpu.models import NBodyGNN, ParticleInteractionLayer
+from nbody_gnn_hpc_tpu.models.gnn import target_adjacency
+from nbody_gnn_hpc_tpu.ops.edges import aggregate_to_targets, edge_features
+from nbody_gnn_hpc_tpu.ops.knn import knn_edge_index
+
+
+def layer_scatter_reference(params, h, edge_index, edge_attr):
+    """The round-1 formulation (decomposed projections + segment_sum +
+    post-aggregation Dense), evaluated in f32 from the SAME param tree."""
+    def dense(p, x, bias=True):
+        y = x @ p["kernel"]
+        return y + p["bias"] if bias else y
+
+    def mlp_block(p, x):
+        z = dense(p["Dense_0"], x)
+        ln = p["LayerNorm_0"]
+        mu = z.mean(-1, keepdims=True)
+        var = ((z - mu) ** 2).mean(-1, keepdims=True)
+        z = (z - mu) / jnp.sqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+        return dense(p["Dense_1"], jax.nn.silu(z))
+
+    z = (dense(params["edge_proj_target"], h)[edge_index[1]]
+         + dense(params["edge_proj_source"], h, bias=False)[edge_index[0]]
+         + dense(params["edge_proj_attr"], edge_attr, bias=False))
+    ln = params["edge_norm"]
+    mu = z.mean(-1, keepdims=True)
+    var = ((z - mu) ** 2).mean(-1, keepdims=True)
+    z = (z - mu) / jnp.sqrt(var + 1e-6) * ln["scale"] + ln["bias"]
+    z = jax.nn.silu(z)
+    messages = dense(params["edge_out"], z)           # per-edge Dense
+    agg = aggregate_to_targets(messages, edge_index, h.shape[0])
+    return mlp_block(params["node_mlp"], jnp.concatenate([h, agg], -1))
+
+
+def test_layer_matches_scatter_formulation(rng):
+    n, k, hdim = 50, 7, 32
+    pos = jnp.asarray(rng.rand(n, 3) * 4 - 2, jnp.float32)
+    h = jnp.asarray(rng.randn(n, hdim), jnp.float32)
+    edge_index = knn_edge_index(pos, k)
+    edge_attr = edge_features(pos, edge_index)
+
+    layer = ParticleInteractionLayer(node_features=hdim, hidden_dim=hdim,
+                                     dropout=0.0)
+    params = layer.init(jax.random.PRNGKey(0), h, edge_index, edge_attr,
+                        deterministic=True)["params"]
+    got = layer.apply({"params": params}, h, edge_index, edge_attr,
+                      deterministic=True)
+    want = layer_scatter_reference(params, h, edge_index, edge_attr)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_adjacency_matmul_equals_segment_sum(rng):
+    n, e = 40, 300
+    targets = jnp.asarray(rng.randint(0, n, e), jnp.int32)
+    edge_index = jnp.stack([jnp.asarray(rng.randint(0, n, e), jnp.int32),
+                            targets])
+    msgs = jnp.asarray(rng.randn(e, 16), jnp.float32)
+    adj, deg = target_adjacency(edge_index, n, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(adj @ msgs),
+        np.asarray(aggregate_to_targets(msgs, edge_index, n)),
+        rtol=1e-4, atol=1e-5)  # f32 summation-order difference only
+    np.testing.assert_array_equal(np.asarray(deg),
+                                  np.bincount(np.asarray(targets),
+                                              minlength=n).astype(np.float32))
+
+
+def test_round1_checkpoint_still_loads_and_runs():
+    """The param tree is unchanged: the shipped production checkpoint loads
+    into the redesigned model and produces finite predictions."""
+    import pathlib
+
+    import pytest
+
+    ckpt = pathlib.Path(__file__).parent.parent / "models/best_model.pt"
+    if not ckpt.exists():
+        pytest.skip("production checkpoint not present")
+
+    from nbody_gnn_hpc_tpu.models import model_from_config
+    from nbody_gnn_hpc_tpu.predict import Predictor
+    from nbody_gnn_hpc_tpu.sim import random_initial_conditions, shared_masses
+
+    model = model_from_config({"node_input_dim": 7, "hidden_dim": 256,
+                               "n_layers": 6, "output_dim": 6,
+                               "dropout": 0.1}, dtype_override="float32")
+    predictor = Predictor(model, str(ckpt), k_neighbors=40)
+    pos, vel, _ = random_initial_conditions(200, 10.0, seed=9999)
+    masses = shared_masses(200)
+    next_pos, next_vel = predictor.predict_single(
+        pos.astype(np.float32), vel.astype(np.float32), masses)
+    assert np.isfinite(next_pos).all()
+    assert np.isfinite(next_vel).all()
