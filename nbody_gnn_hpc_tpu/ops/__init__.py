@@ -5,9 +5,11 @@ from nbody_gnn_hpc_tpu.ops.edges import aggregate_to_targets, edge_features
 from nbody_gnn_hpc_tpu.ops.knn import (edge_index_for,
                                        fully_connected_edge_index,
                                        knn_edge_index)
-from nbody_gnn_hpc_tpu.ops.pairwise import pallas_accelerations
+from nbody_gnn_hpc_tpu.ops.pairwise import (pallas_accelerations,
+                                            pallas_accelerations_symmetric)
 
 __all__ = [
-    "pallas_accelerations", "knn_edge_index", "fully_connected_edge_index",
+    "pallas_accelerations", "pallas_accelerations_symmetric",
+    "knn_edge_index", "fully_connected_edge_index",
     "edge_index_for", "edge_features", "aggregate_to_targets",
 ]

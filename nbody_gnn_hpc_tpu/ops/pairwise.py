@@ -132,3 +132,132 @@ def pallas_accelerations(positions: jnp.ndarray,
     )(packed, packedT)
 
     return out[:n, :3]
+
+
+# -- symmetric (Newton's 3rd law) kernel -------------------------------------
+
+TILE_SYM = 512  # square tile; (512, 512) f32 planes keep scoped VMEM < 16 MB
+
+
+def _pairwise_sym_kernel(packed_ref, packedT_ref, out_ref, acc_ref, *,
+                         n_pad: int, softening: float):
+    """Grid step I: all tile pairs (I, J>=I), each computed ONCE.
+
+    Newton's 3rd law halves the pair work: for an off-diagonal tile pair the
+    mass-free kernel plane s = (d² + soft²)^{-3/2} and the displacement
+    planes are shared between the force on the i side (row sums, weighted by
+    G·m_j) and the reaction on the j side (column sums, weighted by G·m_i,
+    negated). The j-side sums accumulate across grid steps in a persistent
+    (8, n_pad) VMEM scratch — TPU grids execute sequentially on a core, so
+    step I reads contributions exactly from steps < I.
+
+    The diagonal tile is computed the plain full way (both triangles): the
+    self pair contributes exactly zero because s is finite (soft² > 0) and
+    multiplies a zero displacement. Finite-f caveat: G·m·soft⁻³ must stay
+    below f32 max, i.e. m ≲ 5e21 at the default softening — twelve orders
+    of magnitude above the reference's mass range (nbody.py:147).
+    """
+    soft2 = jnp.float32(softening * softening)
+    tile = TILE_SYM
+    grid_i = pl.program_id(0)
+    n_blocks = n_pad // tile
+
+    @pl.when(grid_i == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    base = grid_i * tile
+    xi = packedT_ref[pl.ds(base, tile), 0:1]   # (tile, 1)
+    yi = packedT_ref[pl.ds(base, tile), 1:2]
+    zi = packedT_ref[pl.ds(base, tile), 2:3]
+    gmi = packedT_ref[pl.ds(base, tile), 3:4]
+
+    def planes(off):
+        xj = packed_ref[0:1, pl.ds(off, tile)]  # (1, tile)
+        yj = packed_ref[1:2, pl.ds(off, tile)]
+        zj = packed_ref[2:3, pl.ds(off, tile)]
+        gmj = packed_ref[3:4, pl.ds(off, tile)]
+        dx = xj - xi
+        dy = yj - yi
+        dz = zj - zi
+        d2s = dx * dx + (dy * dy + (dz * dz + soft2))
+        inv_r = jax.lax.rsqrt(d2s)
+        s = inv_r * inv_r * inv_r
+        return gmj, s, dx, dy, dz
+
+    # Diagonal tile: full computation, i-side only (covers both orders).
+    gmj, s, dx, dy, dz = planes(base)
+    f = gmj * s
+    ax = jnp.sum(f * dx, axis=1, keepdims=True)
+    ay = jnp.sum(f * dy, axis=1, keepdims=True)
+    az = jnp.sum(f * dz, axis=1, keepdims=True)
+
+    def body(j, acc):
+        ax, ay, az = acc
+        off = j * tile
+        gmj, s, dx, dy, dz = planes(off)
+        tx = s * dx
+        ty = s * dy
+        tz = s * dz
+        ax = ax + jnp.sum(gmj * tx, axis=1, keepdims=True)
+        ay = ay + jnp.sum(gmj * ty, axis=1, keepdims=True)
+        az = az + jnp.sum(gmj * tz, axis=1, keepdims=True)
+        # Reaction on the j tile (gmi weights rows; negated by symmetry).
+        acc_ref[0:1, pl.ds(off, tile)] -= jnp.sum(gmi * tx, axis=0,
+                                                  keepdims=True)
+        acc_ref[1:2, pl.ds(off, tile)] -= jnp.sum(gmi * ty, axis=0,
+                                                  keepdims=True)
+        acc_ref[2:3, pl.ds(off, tile)] -= jnp.sum(gmi * tz, axis=0,
+                                                  keepdims=True)
+        return ax, ay, az
+
+    ax, ay, az = jax.lax.fori_loop(grid_i + 1, n_blocks, body, (ax, ay, az))
+
+    row = jnp.concatenate(
+        [ax, ay, az, jnp.zeros((tile, 5), jnp.float32)], axis=1)
+    out_ref[:, :] = row + acc_ref[:, pl.ds(base, tile)].T
+
+
+@functools.partial(jax.jit, static_argnames=("softening", "interpret"))
+def pallas_accelerations_symmetric(positions: jnp.ndarray,
+                                   masses: jnp.ndarray,
+                                   softening: float = SOFTENING,
+                                   interpret: bool = False) -> jnp.ndarray:
+    """Newton's-3rd-law blocked all-pairs accelerations (each pair computed
+    once; ~1.7x the plain kernel at N=10k — 0.62 ms/step, 161 Gpairs/s
+    counting ordered pairs). Same contract as :func:`pallas_accelerations`."""
+    n = positions.shape[0]
+    n_pad = _round_up(max(n, TILE_SYM), TILE_SYM)
+    positions = positions.astype(jnp.float32)
+    masses = masses.astype(jnp.float32)
+
+    xyz = jnp.pad(positions, ((0, n_pad - n), (0, 0))).T
+    gm = jnp.pad(jnp.float32(G) * masses, (0, n_pad - n))[None]
+    packed = jnp.concatenate(
+        [xyz, gm, jnp.zeros((4, n_pad), jnp.float32)], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_pairwise_sym_kernel, n_pad=n_pad,
+                          softening=softening),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        grid=(n_pad // TILE_SYM,),
+        in_specs=[
+            pl.BlockSpec((8, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_SYM, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, n_pad), jnp.float32)],
+        # The scratch carries state across grid steps: the grid must stay
+        # sequential ("arbitrary"), never parallelized.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=9 * n_pad * n_pad, bytes_accessed=2 * 8 * n_pad * 4,
+            transcendentals=n_pad * n_pad // 2),
+    )(packed, packed.T)
+
+    return out[:n, :3]

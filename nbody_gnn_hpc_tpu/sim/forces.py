@@ -126,9 +126,10 @@ def accelerations(positions: jnp.ndarray,
     if n < PALLAS_MIN_N:
         return pairwise_accelerations(positions, masses, softening)
     if jax.default_backend() == "tpu" and positions.ndim == 2:
-        from nbody_gnn_hpc_tpu.ops.pairwise import pallas_accelerations
+        from nbody_gnn_hpc_tpu.ops.pairwise import (
+            pallas_accelerations_symmetric)
 
-        return pallas_accelerations(positions, masses, softening)
+        return pallas_accelerations_symmetric(positions, masses, softening)
     if positions.ndim == 2:
         return blocked_accelerations(positions, masses, softening)
     return jnp.stack(

@@ -54,13 +54,28 @@ class Trainer:
                  seed: int = 0,
                  fast_prng: bool = True,
                  epoch_chunk: int = 1000,
-                 mesh=None):
+                 mesh=None,
+                 ckpt_backend: str = "pickle"):
         """``mesh``: optional 1-D ``jax.sharding.Mesh`` (axis 'data') — the
         per-batch compute is sharded over it (params replicated, gradient
         psum placed by XLA).  The reference has no training parallelism
-        (SURVEY §2.3); this is the TPU-native extension."""
+        (SURVEY §2.3); this is the TPU-native extension.
+
+        ``ckpt_backend``: 'pickle' (default — reference-parity ``.pt`` files,
+        synchronous) or 'orbax' — async writes via
+        :class:`~nbody_gnn_hpc_tpu.io.orbax_io.OrbaxCheckpointer`: the big
+        tensors (params + optimizer state) stream in the background while
+        training continues; small metadata goes in a synchronous sidecar
+        index. ``save_model``/``load_model`` keep the same filename surface
+        either way.
+        """
         del device, num_workers
         self.mesh = mesh
+        if ckpt_backend not in ("pickle", "orbax"):
+            raise ValueError(f"unknown ckpt_backend {ckpt_backend!r}")
+        self.ckpt_backend = ckpt_backend
+        self._orbax = None
+        self._orbax_step = 0
         if fast_prng:
             # Threefry dropout-mask generation is a measurable share of the
             # train step on TPU (~15 ms/step at production scale); the
@@ -321,11 +336,84 @@ class Trainer:
 
         self.save_model("final_model.pt")
         self._save_history()
+        if self._orbax is not None:
+            self._orbax.wait()  # async writes must be durable at exit
         return self.history
 
     # -- checkpoints (parity: train.py:537-567) --------------------------------
 
+    @property
+    def _model_config(self) -> Dict:
+        return {
+            "node_input_dim": self.model.node_input_dim,
+            "hidden_dim": self.model.hidden_dim,
+            "n_layers": self.model.n_layers,
+            "output_dim": self.model.output_dim,
+            "dropout": self.model.dropout,
+        }
+
+    def _orbax_mgr(self):
+        if self._orbax is None:
+            from nbody_gnn_hpc_tpu.io.orbax_io import OrbaxCheckpointer
+
+            self._orbax = OrbaxCheckpointer(str(self.model_dir / "orbax"))
+            self._orbax_step = self._orbax.latest_step() or 0
+        return self._orbax
+
+    def _orbax_index_path(self) -> Path:
+        return self.model_dir / "orbax_index.json"
+
+    def _save_orbax(self, filename: str) -> str:
+        """Async-checkpoint the big tensors via Orbax; small metadata goes in
+        a synchronous sidecar index keyed by the same filenames the pickle
+        backend uses, so ``load_model('best_model.pt')`` works unchanged."""
+        mgr = self._orbax_mgr()
+        self._orbax_step += 1
+        mgr.save(self._orbax_step,
+                 {"params": self.params, "opt_state": self.opt_state},
+                 force=True)  # returns immediately; write is async
+        index = {}
+        if self._orbax_index_path().exists():
+            index = json.loads(self._orbax_index_path().read_text())
+        index[filename] = {
+            "step": self._orbax_step,
+            "scheduler_state_dict": {"epoch": self.current_epoch},
+            "best_val_loss": self.best_val_loss,
+            "history": self.history,
+            "norm_stats": jax.tree_util.tree_map(
+                lambda a: np.asarray(a).tolist(), self.norm_stats)
+            if self.norm_stats else None,
+            "model_config": self._model_config,
+        }
+        self._orbax_index_path().write_text(json.dumps(index, indent=2))
+        return str(self.model_dir / "orbax" / str(self._orbax_step))
+
+    def _load_orbax(self, filename: str) -> None:
+        index = json.loads(self._orbax_index_path().read_text())
+        if filename not in index:
+            raise FileNotFoundError(
+                f"{filename} not in {self._orbax_index_path()}")
+        entry = index[filename]
+        mgr = self._orbax_mgr()
+        mgr.wait()  # the target step must be durable before restore
+        restored = mgr.restore(
+            entry["step"],
+            like={"params": self.params, "opt_state": self.opt_state})
+        self.params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+        self.opt_state = jax.tree_util.tree_map(jnp.asarray,
+                                                restored["opt_state"])
+        self.best_val_loss = entry.get("best_val_loss", float("inf"))
+        if entry.get("history"):
+            self.history = entry["history"]
+        if entry.get("norm_stats") is not None:
+            self.norm_stats = {k: np.asarray(v, np.float32)
+                               for k, v in entry["norm_stats"].items()}
+        self.current_epoch = int(
+            (entry.get("scheduler_state_dict") or {}).get("epoch", 0))
+
     def save_model(self, filename: str) -> str:
+        if self.ckpt_backend == "orbax":
+            return self._save_orbax(filename)
         return save_checkpoint(
             self.model_dir / filename,
             params=self.params,
@@ -334,16 +422,13 @@ class Trainer:
             best_val_loss=self.best_val_loss,
             history=self.history,
             norm_stats=self.norm_stats,
-            model_config={
-                "node_input_dim": self.model.node_input_dim,
-                "hidden_dim": self.model.hidden_dim,
-                "n_layers": self.model.n_layers,
-                "output_dim": self.model.output_dim,
-                "dropout": self.model.dropout,
-            },
+            model_config=self._model_config,
         )
 
     def load_model(self, filename: str) -> None:
+        if self.ckpt_backend == "orbax":
+            self._load_orbax(filename)
+            return
         ckpt = load_checkpoint(self.model_dir / filename)
         self.params = jax.tree_util.tree_map(jnp.asarray,
                                              ckpt["model_state_dict"])

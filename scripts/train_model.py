@@ -57,6 +57,11 @@ def build_parser():
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize interaction layers in backward "
                              "(lower memory, ~35%% slower)")
+    parser.add_argument("--ckpt-backend", choices=("pickle", "orbax"),
+                        default="pickle",
+                        help="Checkpoint backend: pickle .pt files "
+                             "(reference parity, synchronous) or orbax "
+                             "(async background writes)")
     parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
                         help="Resume from a checkpoint file in --model-dir "
                              "(e.g. final_model.pt). The reference's "
@@ -171,6 +176,7 @@ def main():
         weight_decay=config.weight_decay,
         noise_std=config.noise_std,
         n_epochs=config.epochs,
+        ckpt_backend=args.ckpt_backend,
     )
     print(f"  Parameters:    {count_parameters(trainer.params):,}")
 

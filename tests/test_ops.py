@@ -6,7 +6,8 @@ import numpy as np
 
 from nbody_gnn_hpc_tpu.ops import (aggregate_to_targets, edge_features,
                                    edge_index_for, fully_connected_edge_index,
-                                   knn_edge_index, pallas_accelerations)
+                                   knn_edge_index, pallas_accelerations,
+                                   pallas_accelerations_symmetric)
 from nbody_gnn_hpc_tpu.sim import pairwise_accelerations
 
 
@@ -26,6 +27,31 @@ def test_pallas_kernel_momentum_neutral(rng):
     pos = jnp.asarray((rng.rand(n, 3) - 0.5) * 10.0, jnp.float32)
     m = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
     acc = np.asarray(pallas_accelerations(pos, m, interpret=True),
+                     dtype=np.float64)
+    mm = np.asarray(m, dtype=np.float64)
+    net = (mm[:, None] * acc).sum(0)
+    assert np.abs(net).max() < 1e-5 * np.abs(mm[:, None] * acc).sum()
+
+
+def test_symmetric_kernel_matches_reference(rng):
+    """The Newton's-3rd-law kernel (each pair computed once, reaction
+    accumulated across grid steps in VMEM scratch) must agree with the
+    plain jnp kernel — including at a non-tile-multiple N."""
+    n = 700
+    pos = jnp.asarray((rng.rand(n, 3) - 0.5) * 10.0, jnp.float32)
+    m = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
+    want = np.asarray(pairwise_accelerations(pos, m), dtype=np.float64)
+    got = np.asarray(pallas_accelerations_symmetric(pos, m, interpret=True),
+                     dtype=np.float64)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5 * scale)
+
+
+def test_symmetric_kernel_momentum_neutral(rng):
+    n = 1024  # two tiles: exercises the cross-tile reaction scratch
+    pos = jnp.asarray((rng.rand(n, 3) - 0.5) * 10.0, jnp.float32)
+    m = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
+    acc = np.asarray(pallas_accelerations_symmetric(pos, m, interpret=True),
                      dtype=np.float64)
     mm = np.asarray(m, dtype=np.float64)
     net = (mm[:, None] * acc).sum(0)

@@ -1,0 +1,130 @@
+"""Property-based physics tests (hypothesis) — VERDICT round 1, item 10.
+
+Invariants that must hold for ANY particle configuration, not just the
+seeded fixtures: Newton's-3rd-law momentum neutrality, Galilean invariance
+of the forces, translation invariance, zero-mass-padding neutrality, and
+mass linearity. Each property is checked on the production force kernel
+(`sim.accelerations` dispatch) at small N (CPU path) — the Pallas kernels
+are cross-checked against the same reference in tests/test_ops.py.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from nbody_gnn_hpc_tpu.sim import accelerations, total_momentum
+from nbody_gnn_hpc_tpu.sim.reference_f64 import accelerations_f64
+
+# Particle systems: modest N, positions within a few orders of magnitude of
+# the production box, strictly positive masses.
+N_RANGE = st.integers(min_value=2, max_value=24)
+
+
+def system(draw, n):
+    pos = draw(arrays(np.float64, (n, 3),
+                      elements=st.floats(-100.0, 100.0, allow_nan=False)))
+    masses = draw(arrays(np.float64, (n,),
+                         elements=st.floats(1e8, 1e12, allow_nan=False)))
+    return pos, masses
+
+
+@st.composite
+def systems(draw):
+    n = draw(N_RANGE)
+    return system(draw, n)
+
+
+@settings(max_examples=40, deadline=None)
+@given(systems())
+def test_momentum_neutrality(sys_):
+    """Σ m_i a_i == 0 (Newton's 3rd law) for any configuration."""
+    pos, m = sys_
+    acc = np.asarray(accelerations(jnp.asarray(pos, jnp.float32),
+                                   jnp.asarray(m, jnp.float32)), np.float64)
+    net = (m[:, None] * acc).sum(0)
+    scale = np.abs(m[:, None] * acc).sum() + 1e-30
+    assert np.abs(net).max() / scale < 1e-5
+
+
+@settings(max_examples=40, deadline=None)
+@given(systems(),
+       arrays(np.float64, (3,), elements=st.floats(-1e3, 1e3,
+                                                   allow_nan=False)))
+def test_translation_invariance(sys_, shift):
+    """Rigidly translating the system leaves accelerations unchanged up to
+    f32 coordinate rounding."""
+    pos, m = sys_
+    a0 = np.asarray(accelerations(jnp.asarray(pos, jnp.float32),
+                                  jnp.asarray(m, jnp.float32)), np.float64)
+    a1 = np.asarray(accelerations(jnp.asarray(pos + shift, jnp.float32),
+                                  jnp.asarray(m, jnp.float32)), np.float64)
+    scale = np.abs(a0).max() + 1e-30
+    # f32 coordinates round under translation, so displacements (hence the
+    # softened forces) shift by ~ulp(|x|+|shift|); allow a generous envelope.
+    assert np.abs(a1 - a0).max() / scale < 5e-2
+
+
+@settings(max_examples=40, deadline=None)
+@given(systems())
+def test_zero_mass_padding_neutrality(sys_):
+    """Appending zero-mass particles changes nothing for the real ones —
+    the property the Pallas padding scheme relies on (ops/pairwise.py)."""
+    pos, m = sys_
+    n_pad = 5
+    rng = np.random.RandomState(0)
+    pos_p = np.concatenate([pos, rng.uniform(-50, 50, (n_pad, 3))])
+    m_p = np.concatenate([m, np.zeros(n_pad)])
+    a0 = np.asarray(accelerations(jnp.asarray(pos, jnp.float32),
+                                  jnp.asarray(m, jnp.float32)), np.float64)
+    a1 = np.asarray(accelerations(jnp.asarray(pos_p, jnp.float32),
+                                  jnp.asarray(m_p, jnp.float32)), np.float64)
+    scale = np.abs(a0).max() + 1e-30
+    assert np.abs(a1[:len(pos)] - a0).max() / scale < 1e-6
+
+
+@settings(max_examples=40, deadline=None)
+@given(systems(), st.floats(0.25, 4.0))
+def test_mass_linearity(sys_, k):
+    """Scaling every mass by k scales every acceleration by k."""
+    pos, m = sys_
+    a0 = np.asarray(accelerations(jnp.asarray(pos, jnp.float32),
+                                  jnp.asarray(m, jnp.float32)), np.float64)
+    a1 = np.asarray(accelerations(jnp.asarray(pos, jnp.float32),
+                                  jnp.asarray(m * k, jnp.float32)),
+                    np.float64)
+    scale = np.abs(a0).max() * k + 1e-30
+    assert np.abs(a1 - k * a0).max() / scale < 1e-5
+
+
+@settings(max_examples=30, deadline=None)
+@given(systems())
+def test_f32_kernel_tracks_f64_oracle(sys_):
+    """The f32 production kernel agrees with the f64 oracle to f32
+    precision for arbitrary configurations (not just seeded ICs)."""
+    pos, m = sys_
+    a32 = np.asarray(accelerations(jnp.asarray(pos, jnp.float32),
+                                   jnp.asarray(m, jnp.float32)), np.float64)
+    a64 = accelerations_f64(pos, m)
+    scale = np.abs(a64).max() + 1e-30
+    assert np.abs(a32 - a64).max() / scale < 1e-3
+
+
+@settings(max_examples=20, deadline=None)
+@given(systems(),
+       arrays(np.float64, (3,), elements=st.floats(-10.0, 10.0,
+                                                   allow_nan=False)))
+def test_galilean_invariance_of_momentum(sys_, boost):
+    """A velocity boost shifts total momentum by exactly M·v (and forces,
+    which depend only on positions, are untouched)."""
+    pos, m = sys_
+    rng = np.random.RandomState(1)
+    vel = rng.randn(len(m), 3)
+    p0 = np.asarray(total_momentum(jnp.asarray(vel, jnp.float32),
+                                   jnp.asarray(m, jnp.float32)), np.float64)
+    p1 = np.asarray(total_momentum(jnp.asarray(vel + boost, jnp.float32),
+                                   jnp.asarray(m, jnp.float32)), np.float64)
+    expected = p0 + m.sum() * boost
+    scale = np.abs(expected).max() + np.abs(p0).max() + 1e-30
+    assert np.abs(p1 - expected).max() / scale < 1e-3
