@@ -6,10 +6,12 @@ from nbody_gnn_hpc_tpu.ops.knn import (edge_index_for,
                                        fully_connected_edge_index,
                                        knn_edge_index)
 from nbody_gnn_hpc_tpu.ops.pairwise import (pallas_accelerations,
+                                            pallas_accelerations_small,
                                             pallas_accelerations_symmetric)
 
 __all__ = [
     "pallas_accelerations", "pallas_accelerations_symmetric",
+    "pallas_accelerations_small",
     "knn_edge_index", "fully_connected_edge_index",
     "edge_index_for", "edge_features", "aggregate_to_targets",
 ]

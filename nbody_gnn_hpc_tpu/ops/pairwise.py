@@ -134,6 +134,76 @@ def pallas_accelerations(positions: jnp.ndarray,
     return out[:n, :3]
 
 
+# -- small-N single-shot kernel (vmap-friendly) -------------------------------
+
+def _pairwise_small_kernel(packed_ref, packedT_ref, out_ref, *,
+                           softening: float):
+    """Whole N_pad x N_pad pair plane in one shot (no grid, no loop).
+
+    NEGATIVE RESULT, kept as documentation: the hypothesis was that vmapping
+    this empty-grid kernel over the 300-sim datagen batch (vmap prepends a
+    grid axis) would beat XLA's fused broadcast. Measured on the v5e it is
+    17x SLOWER (19.2 vs 1.1 ms per batched eval at (300, 200)) — the
+    per-grid-step packing/DMA overhead dominates at these tiny plane sizes,
+    and embedding the custom call in the 400-step trajectory scan OOMs HBM
+    (XLA loses its buffer-reuse planning around the opaque call). The
+    production dispatch therefore keeps small N on the XLA kernel
+    (sim/forces.py); Pallas pays off only at large N where the plane work
+    amortizes the call (see the symmetric kernel below).
+    """
+    soft2 = jnp.float32(softening * softening)
+    xi = packedT_ref[:, 0:1]
+    yi = packedT_ref[:, 1:2]
+    zi = packedT_ref[:, 2:3]
+    xj = packed_ref[0:1, :]
+    yj = packed_ref[1:2, :]
+    zj = packed_ref[2:3, :]
+    gm = packed_ref[3:4, :]
+    dx = xj - xi
+    dy = yj - yi
+    dz = zj - zi
+    d2s = dx * dx + (dy * dy + (dz * dz + soft2))
+    inv_r = jax.lax.rsqrt(d2s)
+    f = gm * (inv_r * inv_r * inv_r)  # finite at the self pair; f * 0 = 0
+    ax = jnp.sum(f * dx, axis=1, keepdims=True)
+    ay = jnp.sum(f * dy, axis=1, keepdims=True)
+    az = jnp.sum(f * dz, axis=1, keepdims=True)
+    n_pad = ax.shape[0]
+    out_ref[:, :] = jnp.concatenate(
+        [ax, ay, az, jnp.zeros((n_pad, 5), jnp.float32)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("softening", "interpret"))
+def pallas_accelerations_small(positions: jnp.ndarray,
+                               masses: jnp.ndarray,
+                               softening: float = SOFTENING,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Single-shot blocked all-pairs for N ≲ 1k (same contract as
+    :func:`pallas_accelerations`); vmap over a leading batch axis turns the
+    empty grid into a per-sim grid — the datagen fast path."""
+    n = positions.shape[0]
+    n_pad = _round_up(max(n, 128), 128)
+    positions = positions.astype(jnp.float32)
+    masses = masses.astype(jnp.float32)
+    xyz = jnp.pad(positions, ((0, n_pad - n), (0, 0))).T
+    gm = jnp.pad(jnp.float32(G) * masses, (0, n_pad - n))[None]
+    packed = jnp.concatenate(
+        [xyz, gm, jnp.zeros((4, n_pad), jnp.float32)], axis=0)
+
+    out = pl.pallas_call(
+        functools.partial(_pairwise_small_kernel, softening=softening),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=15 * n_pad * n_pad, bytes_accessed=2 * 8 * n_pad * 4,
+            transcendentals=n_pad * n_pad),
+    )(packed, packed.T)
+    return out[:n, :3]
+
+
 # -- symmetric (Newton's 3rd law) kernel -------------------------------------
 
 TILE_SYM = 512  # square tile; (512, 512) f32 planes keep scoped VMEM < 16 MB

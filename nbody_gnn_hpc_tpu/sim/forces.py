@@ -124,6 +124,12 @@ def accelerations(positions: jnp.ndarray,
     """
     n = positions.shape[-2]
     if n < PALLAS_MIN_N:
+        # Measured (round 2): a Pallas plane kernel vmapped over the datagen
+        # batch runs 17x SLOWER than XLA's fused broadcast at (300, 200)
+        # (vmap-as-grid adds per-step packing/DMA overhead XLA fuses away),
+        # and embedding it in the 400-step scan breaks XLA's trajectory
+        # buffer planning (34 GB HBM). Small N stays on the XLA kernel;
+        # ops.pallas_accelerations_small records the experiment.
         return pairwise_accelerations(positions, masses, softening)
     if jax.default_backend() == "tpu" and positions.ndim == 2:
         from nbody_gnn_hpc_tpu.ops.pairwise import (

@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Serve the GNN surrogate as a batched low-latency rollout HTTP service.
+
+Beyond-reference capability (the reference's inference is a script with two
+host<->device copies per rollout step); this wraps the scan-compiled
+Predictor in a stdlib HTTP server with shape warmup. See
+nbody_gnn_hpc_tpu/serve.py for the endpoint contract.
+
+Usage:
+    python scripts/serve.py --port 8742 --warm-particles 200 --warm-steps 394
+    curl localhost:8742/healthz
+"""
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    parser = argparse.ArgumentParser(description="GNN rollout service")
+    parser.add_argument("--model-path", "-m", type=str,
+                        default="./models/best_model.pt")
+    parser.add_argument("--config-path", "-c", type=str,
+                        default="./models/config.json")
+    parser.add_argument("--host", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8742)
+    parser.add_argument("--warm-particles", type=int, default=200,
+                        help="Warm the compile cache for this N (0 = skip)")
+    parser.add_argument("--warm-steps", type=int, default=394)
+    parser.add_argument("--warm-batch", type=int, default=0,
+                        help="Also warm a batched shape (0 = skip)")
+    args = parser.parse_args()
+
+    from nbody_gnn_hpc_tpu.models import model_from_config
+    from nbody_gnn_hpc_tpu.serve import RolloutService, serve
+
+    config_path = Path(args.config_path)
+    if config_path.exists():
+        cfg = json.loads(config_path.read_text())
+        model_config = cfg["model_config"]
+        k_neighbors = cfg.get("training_config", {}).get("k_neighbors", 40)
+    else:
+        model_config = {"node_input_dim": 7, "hidden_dim": 256,
+                        "n_layers": 6, "output_dim": 6, "dropout": 0.1}
+        k_neighbors = 40
+
+    model = model_from_config(model_config, dtype_override="float32")
+    service = RolloutService(model, args.model_path, k_neighbors=k_neighbors)
+
+    if args.warm_particles:
+        print(f"Warming rollout program (N={args.warm_particles}, "
+              f"steps={args.warm_steps}"
+              + (f", batch={args.warm_batch}" if args.warm_batch else "")
+              + ")...")
+        service.warmup(args.warm_particles, args.warm_steps,
+                       batch=args.warm_batch or None)
+
+    httpd = serve(service, host=args.host, port=args.port)
+    print(f"Serving on http://{args.host}:{args.port} "
+          f"(endpoints: /healthz, /rollout, /rollout_batch)")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        print("\nShutting down.")
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()

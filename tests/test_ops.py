@@ -58,6 +58,38 @@ def test_symmetric_kernel_momentum_neutral(rng):
     assert np.abs(net).max() < 1e-5 * np.abs(mm[:, None] * acc).sum()
 
 
+def test_small_kernel_matches_reference(rng):
+    from nbody_gnn_hpc_tpu.ops import pallas_accelerations_small
+
+    n = 200
+    pos = jnp.asarray((rng.rand(n, 3) - 0.5) * 10.0, jnp.float32)
+    m = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
+    want = np.asarray(pairwise_accelerations(pos, m), dtype=np.float64)
+    got = np.asarray(pallas_accelerations_small(pos, m, interpret=True),
+                     dtype=np.float64)
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5 * scale)
+
+
+def test_small_kernel_vmaps(rng):
+    """The datagen path vmaps the kernel over sims: batching must prepend a
+    grid axis and agree with per-sim calls."""
+    import jax
+
+    from nbody_gnn_hpc_tpu.ops import pallas_accelerations_small
+
+    b, n = 3, 40
+    pos = jnp.asarray((rng.rand(b, n, 3) - 0.5) * 10.0, jnp.float32)
+    m = jnp.asarray(rng.uniform(1e10, 1e12, (b, n)), jnp.float32)
+    batched = jax.vmap(
+        lambda p, mm: pallas_accelerations_small(p, mm, interpret=True))(
+            pos, m)
+    for i in range(b):
+        single = pallas_accelerations_small(pos[i], m[i], interpret=True)
+        np.testing.assert_allclose(np.asarray(batched[i]),
+                                   np.asarray(single), rtol=1e-6)
+
+
 def test_knn_matches_ckdtree(rng):
     from scipy.spatial import cKDTree
 
