@@ -6,13 +6,14 @@ from nbody_gnn_hpc_tpu.utils.metrics import (compute_all_metrics, compute_mae,
                                              compute_rmse,
                                              compute_trajectory_divergence,
                                              format_metrics_report)
+from nbody_gnn_hpc_tpu.utils.html_viewer import export_interactive_html
 from nbody_gnn_hpc_tpu.utils.profiling import StageTimer, annotate, device_trace
 
 __all__ = [
     "compute_rmse", "compute_mae", "compute_energy_error",
     "compute_momentum_error", "compute_trajectory_divergence",
     "compute_all_metrics", "format_metrics_report",
-    "StageTimer", "device_trace", "annotate",
+    "StageTimer", "device_trace", "annotate", "export_interactive_html",
 ]
 
 
