@@ -60,6 +60,66 @@ class GNNDataset:
 
             self._load_tensors(f)
 
+        self._init_stats_and_edges(external_norm_stats)
+
+    @classmethod
+    def from_trajectories(cls, trajectories, sequence_length: int = 5,
+                          stride: int = 1,
+                          k_neighbors: Optional[int] = None,
+                          include_mass: bool = True,
+                          external_norm_stats: Optional[Dict] = None):
+        """Build the dataset directly from trajectory dicts — no windowed
+        HDF5 file needed.
+
+        The windowed file stores every length-L window but only the LAST
+        state of each is ever read (``train.py:143``), so the (last_state,
+        target) pairs reduce to ``state[L-1:T-1], state[L:T]`` per
+        trajectory — exactly what ``create_training_dataset``'s windows
+        (starts ``range(0, T-L, stride)``, ``io/checkpoint.py:242-246``)
+        collapse to. Sample ordering, mass handling, and the seeded
+        stat/edge draws all match the file path, so the two constructions
+        are tensor-identical (tests/test_dataset_trainer.py pins this).
+
+        ``trajectories``: dicts with ``positions``/``velocities`` of shape
+        (T, N, 3) and optionally shared ``masses`` (first dict wins).
+        """
+        self = cls.__new__(cls)
+        self.data_path = "<trajectories>"
+        self.sequence_length = sequence_length
+        self.k_neighbors = k_neighbors
+        self.include_mass = include_mass
+
+        lasts, targets = [], []
+        for traj in trajectories:
+            state = np.concatenate(
+                [np.asarray(traj["positions"]),
+                 np.asarray(traj["velocities"])],
+                axis=-1).astype(np.float32)  # (T, N, 6)
+            if state.shape[0] - sequence_length <= 0:
+                continue
+            starts = np.arange(0, state.shape[0] - sequence_length, stride)
+            lasts.append(state[starts + sequence_length - 1])
+            targets.append(state[starts + sequence_length])
+        if not lasts:
+            raise ValueError("No samples could be created from trajectories")
+
+        self.last_states = np.concatenate(lasts)
+        self.targets = np.concatenate(targets)
+        self.n_samples = int(self.last_states.shape[0])
+        self.n_particles = int(self.last_states.shape[1])
+        m = trajectories[0].get("masses")
+        if m is not None:
+            self.masses = np.asarray(m)
+        else:
+            self.masses = np.ones(self.n_particles)
+            print("WARNING: trajectories have no 'masses'; physics loss "
+                  "will use unit masses")
+
+        self._init_stats_and_edges(external_norm_stats)
+        return self
+
+    def _init_stats_and_edges(self, external_norm_stats) -> None:
+        k_neighbors = self.k_neighbors
         rng = np.random.RandomState(_STAT_SEED)
 
         if external_norm_stats is not None:
@@ -171,3 +231,68 @@ class GNNDataset:
         import jax.numpy as jnp
 
         return jnp.asarray(self.last_states), jnp.asarray(self.targets)
+
+
+MANIFEST_NAME = "dataset_manifest.json"
+
+
+def write_manifest(output_dir, train_sims, val_sims, sequence_length,
+                   stride: int = 1, checkpoint_dir: str = "checkpoints"):
+    """Record a ``--no-windows`` datagen run: which trajectory files form
+    the train/val split and the window protocol to apply at load time.
+    Replaces the 10x-redundant windowed HDF5 files (the dominant datagen
+    wall-clock cost, RESULTS.md) with a few hundred bytes of JSON."""
+    import json
+    from pathlib import Path
+
+    path = Path(output_dir) / MANIFEST_NAME
+    with open(path, "w") as f:
+        json.dump({
+            "format": "nbody-gnn-trajectory-manifest",
+            "version": 1,
+            "checkpoint_dir": checkpoint_dir,
+            "sequence_length": int(sequence_length),
+            "stride": int(stride),
+            "train_sims": list(train_sims),
+            "val_sims": list(val_sims),
+        }, f, indent=2)
+    return str(path)
+
+
+def datasets_from_manifest(manifest_path, k_neighbors: Optional[int] = None,
+                           include_mass: bool = True):
+    """(train_dataset, val_dataset) from a ``--no-windows`` manifest.
+
+    Equivalent to loading ``train_dataset.h5``/``val_dataset.h5`` built
+    from the same trajectories: the val set uses the train set's
+    normalization stats, matching ``scripts/train_model.py``'s windowed
+    path (reference ``train_model.py:94-100``).
+    """
+    import json
+    from pathlib import Path
+
+    from nbody_gnn_hpc_tpu.io import CheckpointManager
+
+    manifest_path = Path(manifest_path)
+    with open(manifest_path) as f:
+        spec = json.load(f)
+    if spec.get("format") != "nbody-gnn-trajectory-manifest":
+        raise ValueError(f"{manifest_path} is not a trajectory manifest")
+
+    manager = CheckpointManager(str(manifest_path.parent
+                                    / spec["checkpoint_dir"]))
+    seq_len, stride = spec["sequence_length"], spec.get("stride", 1)
+
+    def _load(names):
+        return [manager.load_trajectory(n) for n in names]
+
+    train = GNNDataset.from_trajectories(
+        _load(spec["train_sims"]), sequence_length=seq_len, stride=stride,
+        k_neighbors=k_neighbors, include_mass=include_mass)
+    val_names = spec.get("val_sims") or []
+    val = GNNDataset.from_trajectories(
+        _load(val_names), sequence_length=seq_len, stride=stride,
+        k_neighbors=k_neighbors, include_mass=include_mass,
+        external_norm_stats=train.get_normalization_stats(),
+    ) if val_names else None
+    return train, val

@@ -62,6 +62,13 @@ def main():
     parser.add_argument("--prefetch", type=int, default=2,
                         help="Device batches dispatched ahead of host "
                              "writes (HBM permitting)")
+    parser.add_argument("--no-windows", action="store_true",
+                        help="Skip the windowed train/val HDF5 files (the "
+                             "dominant datagen cost: each state is stored "
+                             "~seq-len times over). Writes "
+                             "dataset_manifest.json instead; train_model.py "
+                             "builds the (state, target) pairs directly "
+                             "from the trajectory files at load time.")
     args = parser.parse_args()
 
     output_dir = Path(args.output_dir)
@@ -153,6 +160,24 @@ def main():
     if total_skipped:
         print(f"  Already complete: skipped {total_skipped} sims")
 
+    n_train = int(0.8 * args.simulations)
+
+    if args.no_windows:
+        from nbody_gnn_hpc_tpu.train import write_manifest
+
+        sim_names = [f"sim_{i:04d}" for i in range(args.simulations)]
+        manifest = write_manifest(output_dir, sim_names[:n_train],
+                                  sim_names[n_train:],
+                                  sequence_length=args.sequence_length)
+        print("\n" + "=" * 60)
+        print("DATA GENERATION COMPLETE (trajectory manifest mode)")
+        print("=" * 60)
+        print(f"  Manifest:      {manifest}")
+        print(f"  Trajectories:  {checkpoint_dir}")
+        print(timer.report())
+        print("=" * 60)
+        return
+
     # Assemble for dataset creation: fresh sims straight from memory,
     # resumed sims from their files.
     all_trajectories = []
@@ -172,7 +197,6 @@ def main():
     print(f"\nGenerated {len(all_trajectories)} trajectories")
     print("\nCreating training datasets...")
 
-    n_train = int(0.8 * len(all_trajectories))
     masses = all_trajectories[0].get("masses")
 
     with timer.stage("dataset"):

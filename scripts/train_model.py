@@ -87,8 +87,11 @@ def main():
 
     train_path = data_dir / "train_dataset.h5"
     val_path = data_dir / "val_dataset.h5"
-    if not train_path.exists():
-        print(f"Error: Training data not found at {train_path}")
+    manifest_path = data_dir / "dataset_manifest.json"
+    use_manifest = not train_path.exists() and manifest_path.exists()
+    if not train_path.exists() and not use_manifest:
+        print(f"Error: Training data not found at {train_path} "
+              f"(and no {manifest_path.name})")
         print("Run generate_data.py first!")
         sys.exit(1)
 
@@ -109,14 +112,22 @@ def main():
     print("=" * 60)
 
     print("\nLoading datasets...")
-    train_dataset = GNNDataset(str(train_path),
-                               sequence_length=config.sequence_length,
-                               k_neighbors=config.k_neighbors)
-    val_dataset = GNNDataset(
-        str(val_path), sequence_length=config.sequence_length,
-        k_neighbors=config.k_neighbors,
-        external_norm_stats=train_dataset.get_normalization_stats()
-    ) if val_path.exists() else None
+    if use_manifest:
+        # --no-windows datagen: build (state, target) pairs directly from
+        # the trajectory files (window protocol recorded in the manifest).
+        from nbody_gnn_hpc_tpu.train import datasets_from_manifest
+        print(f"  (trajectory-direct path via {manifest_path.name})")
+        train_dataset, val_dataset = datasets_from_manifest(
+            manifest_path, k_neighbors=config.k_neighbors)
+    else:
+        train_dataset = GNNDataset(str(train_path),
+                                   sequence_length=config.sequence_length,
+                                   k_neighbors=config.k_neighbors)
+        val_dataset = GNNDataset(
+            str(val_path), sequence_length=config.sequence_length,
+            k_neighbors=config.k_neighbors,
+            external_norm_stats=train_dataset.get_normalization_stats()
+        ) if val_path.exists() else None
 
     if args.max_samples and len(train_dataset) > args.max_samples:
         print(f"Subsampling: {len(train_dataset)} -> {args.max_samples}")

@@ -106,3 +106,25 @@ def test_benchmark_script(workdir):
     out = run([str(SCRIPTS / "benchmark_bh_temp.py"), "-n", "64",
                "--steps", "1"], workdir)
     assert "Average step time" in out.stdout
+
+
+@pytest.mark.slow
+def test_no_windows_pipeline(workdir):
+    """--no-windows datagen writes a manifest instead of the (10x-redundant)
+    windowed HDF5 files; train_model builds the dataset straight from the
+    trajectory files."""
+    run([str(SCRIPTS / "generate_data.py"), "--particles", "12",
+         "--simulations", "5", "--steps", "30", "--sequence-length", "5",
+         "--no-windows", "-o", "./data_nw"], workdir)
+    assert (workdir / "data_nw/dataset_manifest.json").exists()
+    assert not (workdir / "data_nw/train_dataset.h5").exists()
+    assert (workdir / "data_nw/checkpoints/sim_0004_trajectory.h5").exists()
+    with open(workdir / "data_nw/dataset_manifest.json") as f:
+        spec = json.load(f)
+    assert spec["train_sims"] == [f"sim_{i:04d}" for i in range(4)]
+    assert spec["val_sims"] == ["sim_0004"]
+
+    run([str(SCRIPTS / "train_model.py"), "--epochs", "1", "--hidden-dim",
+         "16", "--n-layers", "1", "--k-neighbors", "4", "--batch-size", "16",
+         "-d", "./data_nw", "-o", "./models_nw"], workdir)
+    assert (workdir / "models_nw/final_model.pt").exists()

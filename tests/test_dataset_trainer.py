@@ -172,3 +172,89 @@ def test_mse_only_mode(dataset_paths, tmp_path):
                       use_physics_loss=False)
     loss = trainer.train_epoch()
     assert np.isfinite(loss)
+
+
+# -- trajectory-direct construction (--no-windows datagen) --------------------
+
+def _synthetic_trajs(seed, n_trajs=3, n_steps=30, n=8):
+    r = np.random.RandomState(seed)
+    masses = r.uniform(1e10, 1e12, n).astype(np.float32)
+    trajs = []
+    for _ in range(n_trajs):
+        trajs.append({
+            "positions": np.cumsum(r.randn(n_steps, n, 3), axis=0),
+            "velocities": r.randn(n_steps, n, 3),
+            "masses": masses,
+            "n_steps": n_steps,
+        })
+    return trajs, masses
+
+
+def test_from_trajectories_matches_windowed_file(tmp_path):
+    """The trajectory-direct path is tensor-identical to loading a windowed
+    HDF5 file built from the same trajectories (same windows, ordering,
+    masses, seeded stats, and edge set)."""
+    trajs, masses = _synthetic_trajs(11)
+    path = tmp_path / "win.h5"
+    create_training_dataset(trajs, str(path), sequence_length=5, stride=1,
+                            masses=masses)
+
+    ds_file = GNNDataset(str(path), k_neighbors=3)
+    ds_traj = GNNDataset.from_trajectories(trajs, sequence_length=5,
+                                           stride=1, k_neighbors=3)
+
+    assert ds_traj.n_samples == ds_file.n_samples
+    np.testing.assert_array_equal(ds_traj.last_states, ds_file.last_states)
+    np.testing.assert_array_equal(ds_traj.targets, ds_file.targets)
+    np.testing.assert_array_equal(ds_traj.state_mean, ds_file.state_mean)
+    np.testing.assert_array_equal(ds_traj.state_std, ds_file.state_std)
+    np.testing.assert_array_equal(ds_traj.edge_index, ds_file.edge_index)
+    np.testing.assert_array_equal(ds_traj.get_masses_tensor(),
+                                  ds_file.get_masses_tensor())
+
+
+def test_from_trajectories_stride_and_short_trajs():
+    """Stride >1 subsamples windows; too-short trajectories contribute
+    nothing (matching create_training_dataset's counting)."""
+    trajs, _ = _synthetic_trajs(12, n_trajs=2, n_steps=20)
+    short = {"positions": np.zeros((4, 8, 3)), "velocities": np.zeros((4, 8, 3)),
+             "masses": trajs[0]["masses"], "n_steps": 4}
+    ds = GNNDataset.from_trajectories(trajs + [short], sequence_length=5,
+                                      stride=3, k_neighbors=3)
+    # per traj: len(range(0, 20-5, 3)) = 5 windows; the short traj: 0
+    assert ds.n_samples == 2 * 5
+
+
+def test_manifest_roundtrip(tmp_path):
+    """write_manifest + datasets_from_manifest reproduces the train/val
+    split with the val set on the train set's stats."""
+    from nbody_gnn_hpc_tpu.io import CheckpointManager
+    from nbody_gnn_hpc_tpu.train import datasets_from_manifest, write_manifest
+
+    trajs, _ = _synthetic_trajs(13, n_trajs=4, n_steps=25)
+    ckpt_dir = tmp_path / "checkpoints"
+    manager = CheckpointManager(str(ckpt_dir))
+    names = []
+    for i, t in enumerate(trajs):
+        name = f"sim_{i:04d}"
+        states = [{"positions": t["positions"][s],
+                   "velocities": t["velocities"][s],
+                   "accelerations": np.zeros_like(t["positions"][s]),
+                   "masses": t["masses"], "time": 0.1 * s, "step": s}
+                  for s in range(t["n_steps"])]
+        manager.save_trajectory(states, name)
+        names.append(name)
+
+    write_manifest(tmp_path, names[:3], names[3:], sequence_length=5)
+    train, val = datasets_from_manifest(tmp_path / "dataset_manifest.json",
+                                        k_neighbors=3)
+    assert train.n_samples == 3 * 20  # range(0, 25-5) per traj
+    assert val.n_samples == 1 * 20
+    np.testing.assert_array_equal(val.state_mean, train.state_mean)
+    np.testing.assert_array_equal(val.state_std, train.state_std)
+
+    # and it matches building directly from the in-memory trajectories
+    direct = GNNDataset.from_trajectories(trajs[:3], sequence_length=5,
+                                          k_neighbors=3)
+    np.testing.assert_allclose(train.last_states, direct.last_states,
+                               rtol=0, atol=0)
