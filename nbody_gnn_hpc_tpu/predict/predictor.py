@@ -115,11 +115,14 @@ class Predictor:
             step = self._build_step(n_particles)
 
             @jax.jit
-            def rollout(params, pos0, vel0, mass_feat):  # pos0: (B, N, 3)
-                def one(p0, v0):
+            def rollout(params, pos0, vel0, mass_feat):
+                # pos0: (B, N, 3); mass_feat: (B, N, 1) — per-system masses
+                # so the serving micro-batcher can coalesce requests with
+                # different mass vectors into one program.
+                def one(p0, v0, mf):
                     def body(carry, _):
                         pos, vel = carry
-                        pos, vel = step(params, pos, vel, mass_feat)
+                        pos, vel = step(params, pos, vel, mf)
                         return (pos, vel), (pos, vel)
 
                     _, (ps, vs) = jax.lax.scan(body, (p0, v0), None,
@@ -127,7 +130,7 @@ class Predictor:
                     return (jnp.concatenate([p0[None], ps]),
                             jnp.concatenate([v0[None], vs]))
 
-                return jax.vmap(one)(pos0, vel0)
+                return jax.vmap(one)(pos0, vel0, mass_feat)
 
             self._rollout_cache[key] = rollout
         return self._rollout_cache[key]
@@ -178,11 +181,19 @@ class Predictor:
 
         No reference equivalent: the reference rolls test sims out one at a
         time, one host round-trip per step (``evaluate.py:101-110``).
+
+        ``masses``: (N,) shared across the batch, or (B, N) per system —
+        each system's mass feature is normalized by its own mean, matching
+        ``predict_rollout``'s semantics for that system alone.
         """
-        n_particles = len(masses)
+        masses = np.asarray(masses)
+        batch = np.asarray(initial_positions).shape[0]
+        n_particles = masses.shape[-1]
         rollout = self._get_batch_rollout_fn(n_particles, n_steps)
-        mass_feat = (np.asarray(masses) / np.asarray(masses).mean()
-                     ).reshape(-1, 1).astype(np.float32)
+        if masses.ndim == 1:
+            masses = np.broadcast_to(masses, (batch, n_particles))
+        mass_feat = (masses / masses.mean(axis=1, keepdims=True)
+                     )[..., None].astype(np.float32)
         ps, vs = rollout(self.params,
                          jnp.asarray(initial_positions, jnp.float32),
                          jnp.asarray(initial_velocities, jnp.float32),

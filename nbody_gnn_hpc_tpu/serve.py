@@ -22,6 +22,7 @@ throughput lever — a (B, N) batch rolls out as one vmapped scan program.
 
 import json
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional, Tuple
 
@@ -75,6 +76,99 @@ class RolloutService:
                 "velocities": np.asarray(out["velocities"])}
 
 
+class _Job:
+    """One queued single-system rollout awaiting a coalesced dispatch."""
+
+    __slots__ = ("pos", "vel", "masses", "event", "result", "error")
+
+    def __init__(self, pos, vel, masses):
+        self.pos, self.vel, self.masses = pos, vel, masses
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class MicroBatcher:
+    """Coalesce concurrent single-system ``/rollout`` requests into one
+    vmapped device program.
+
+    Without this, concurrent requests serialize on the device lock — B
+    clients pay B sequential rollouts. With it, requests sharing a
+    (n_particles, n_steps) key that arrive within ``max_wait_s`` of each
+    other run as ONE batched scan program (per-system masses supported),
+    so B clients pay ~1 rollout of batch B.
+
+    TPU-aware detail: each distinct batch size is a separate XLA
+    compilation, so batches are padded up to fixed power-of-two buckets
+    (1, 2, 4, ... max_batch) by repeating the last system and slicing the
+    padding off the results — bounded compile count, warmable up front.
+    """
+
+    def __init__(self, service: RolloutService, max_batch: int = 8,
+                 max_wait_s: float = 0.005):
+        self.service = service
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_s
+        self.buckets = tuple(2 ** i for i in
+                             range(max(0, max_batch).bit_length())
+                             if 2 ** i <= max_batch)
+        self._lock = threading.Lock()
+        self._pending = {}  # (n_particles, n_steps) -> list[_Job]
+
+    def warmup(self, n_particles: int, n_steps: int) -> None:
+        """Compile every bucket size for a (N, n_steps) shape."""
+        for b in self.buckets:
+            self.service.warmup(n_particles, n_steps, batch=b)
+
+    def rollout(self, positions, velocities, masses, n_steps: int):
+        pos = np.asarray(positions, np.float32)
+        vel = np.asarray(velocities, np.float32)
+        masses = np.asarray(masses, np.float32)
+        key = (pos.shape[0], int(n_steps))
+        job = _Job(pos, vel, masses)
+        with self._lock:
+            queue = self._pending.setdefault(key, [])
+            queue.append(job)
+            leader = len(queue) == 1
+        if leader:
+            self._lead(key, int(n_steps))
+        job.event.wait()
+        if job.error is not None:
+            raise job.error
+        return job.result
+
+    def _lead(self, key, n_steps: int) -> None:
+        # Give followers a short window to join (they pile up naturally
+        # while the device is busy with a previous batch).
+        deadline = time.monotonic() + self.max_wait_s
+        while time.monotonic() < deadline:
+            with self._lock:
+                if len(self._pending[key]) >= self.max_batch:
+                    break
+            time.sleep(0.0005)
+        with self._lock:
+            jobs = self._pending.pop(key)
+        # Pad to the next bucket by repeating the last system; slice off
+        # the padding after. One compile per bucket, not per batch size.
+        bucket = next(b for b in self.buckets if b >= len(jobs)) \
+            if len(jobs) <= self.max_batch else len(jobs)
+        pad = bucket - len(jobs)
+        take = jobs + [jobs[-1]] * pad
+        try:
+            out = self.service.rollout_batch(
+                np.stack([j.pos for j in take]),
+                np.stack([j.vel for j in take]),
+                np.stack([j.masses for j in take]), n_steps)
+            for i, j in enumerate(jobs):
+                j.result = {"positions": out["positions"][i],
+                            "velocities": out["velocities"][i]}
+        except Exception as e:  # surface to every waiter
+            for j in jobs:
+                j.error = e
+        for j in jobs:
+            j.event.set()
+
+
 def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,
                                                      np.ndarray, int]:
     try:
@@ -85,18 +179,24 @@ def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,
     except (KeyError, TypeError, ValueError) as e:
         raise ValueError(f"bad request: {e}")
     want_dims = 3 if batched else 2
+    masses_ok = (masses.ndim == 1 and masses.shape[0] == pos.shape[-2]) or \
+        (batched and masses.ndim == 2 and pos.ndim == 3
+         and masses.shape == pos.shape[:2])  # per-system masses (B, N)
     if pos.ndim != want_dims or pos.shape != vel.shape \
-            or pos.shape[-1] != 3 or masses.ndim != 1 \
-            or masses.shape[0] != pos.shape[-2]:
+            or pos.shape[-1] != 3 or not masses_ok:
         raise ValueError(
             f"shape mismatch: positions {pos.shape}, velocities {vel.shape},"
             f" masses {masses.shape} (batched={batched})")
     if not (1 <= n_steps <= 100_000):
         raise ValueError(f"n_steps out of range: {n_steps}")
+    if not (np.isfinite(pos).all() and np.isfinite(vel).all()
+            and np.isfinite(masses).all()):
+        raise ValueError("non-finite values in input arrays")
     return pos, vel, masses, n_steps
 
 
-def make_handler(service: RolloutService):
+def make_handler(service: RolloutService,
+                 batcher: Optional[MicroBatcher] = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             pass
@@ -128,7 +228,12 @@ def make_handler(service: RolloutService):
                 payload = json.loads(self.rfile.read(length))
                 batched = self.path == "/rollout_batch"
                 pos, vel, masses, n_steps = _validate(payload, batched)
-                fn = service.rollout_batch if batched else service.rollout
+                if batched:
+                    fn = service.rollout_batch
+                elif batcher is not None:
+                    fn = batcher.rollout
+                else:
+                    fn = service.rollout
                 out = fn(pos, vel, masses, n_steps)
                 self._reply(200, {k: v.tolist() for k, v in out.items()})
             except ValueError as e:
@@ -140,6 +245,10 @@ def make_handler(service: RolloutService):
 
 
 def serve(service: RolloutService, host: str = "127.0.0.1",
-          port: int = 8742) -> ThreadingHTTPServer:
-    """Start the HTTP server (returns it; call ``serve_forever`` to block)."""
-    return ThreadingHTTPServer((host, port), make_handler(service))
+          port: int = 8742,
+          batcher: Optional[MicroBatcher] = None) -> ThreadingHTTPServer:
+    """Start the HTTP server (returns it; call ``serve_forever`` to block).
+
+    Pass a :class:`MicroBatcher` to coalesce concurrent ``/rollout``
+    requests into shared device programs (recommended in production)."""
+    return ThreadingHTTPServer((host, port), make_handler(service, batcher))

@@ -32,10 +32,17 @@ def main():
     parser.add_argument("--warm-steps", type=int, default=394)
     parser.add_argument("--warm-batch", type=int, default=0,
                         help="Also warm a batched shape (0 = skip)")
+    parser.add_argument("--micro-batch", type=int, default=0, metavar="B",
+                        help="Coalesce concurrent /rollout requests into "
+                             "shared device programs, up to B per batch "
+                             "(power-of-two padding buckets; 0 = off)")
+    parser.add_argument("--micro-batch-wait-ms", type=float, default=5.0,
+                        help="How long a micro-batch leader waits for "
+                             "followers to join")
     args = parser.parse_args()
 
     from nbody_gnn_hpc_tpu.models import model_from_config
-    from nbody_gnn_hpc_tpu.serve import RolloutService, serve
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher, RolloutService, serve
 
     config_path = Path(args.config_path)
     if config_path.exists():
@@ -50,6 +57,10 @@ def main():
     model = model_from_config(model_config, dtype_override="float32")
     service = RolloutService(model, args.model_path, k_neighbors=k_neighbors)
 
+    batcher = MicroBatcher(service, max_batch=args.micro_batch,
+                           max_wait_s=args.micro_batch_wait_ms / 1e3) \
+        if args.micro_batch > 0 else None
+
     if args.warm_particles:
         print(f"Warming rollout program (N={args.warm_particles}, "
               f"steps={args.warm_steps}"
@@ -57,8 +68,11 @@ def main():
               + ")...")
         service.warmup(args.warm_particles, args.warm_steps,
                        batch=args.warm_batch or None)
+        if batcher is not None:
+            print(f"Warming micro-batch buckets {batcher.buckets}...")
+            batcher.warmup(args.warm_particles, args.warm_steps)
 
-    httpd = serve(service, host=args.host, port=args.port)
+    httpd = serve(service, host=args.host, port=args.port, batcher=batcher)
     print(f"Serving on http://{args.host}:{args.port} "
           f"(endpoints: /healthz, /rollout, /rollout_batch)")
     try:
