@@ -48,6 +48,19 @@ def fully_connected_edge_index(n: int) -> np.ndarray:
     return np.stack([row[mask], col[mask]]).astype(np.int32)
 
 
+def is_row_regular(edge_index, n_nodes: int) -> bool:
+    """True iff ``edge_index[0] == repeat(arange(n_nodes), E // n_nodes)`` —
+    the layout both builders above emit, and the precondition for the GNN's
+    scatter-free ``gather_mode="matmul"`` (models/gnn.py). Host-side check
+    on concrete arrays (cannot run under jit)."""
+    edges = np.asarray(edge_index)
+    n_edges = edges.shape[1]
+    if n_nodes == 0 or n_edges % n_nodes != 0:
+        return False
+    return np.array_equal(
+        edges[0], np.repeat(np.arange(n_nodes), n_edges // n_nodes))
+
+
 def edge_index_for(n_particles: int, k_neighbors, positions=None):
     """Reference edge-policy dispatch (``train.py:91-122``): fully connected
     when k is None or k >= N-1, else k-NN from ``positions``."""

@@ -29,6 +29,19 @@ def make_train_step(model, tx, edge_index, state_mean, state_std, mass_feat,
     """
     if criterion is None and use_physics_loss:
         criterion = PhysicsInformedLoss()
+    if getattr(model, "gather_mode", "take") == "matmul":
+        # edge_index is concrete here: validate the row-regular layout the
+        # scatter-free gather mode assumes (every builder in ops/knn.py
+        # emits it; a hand-rolled edge set might not).
+        import numpy as np
+
+        from nbody_gnn_hpc_tpu.ops.knn import is_row_regular
+        n_nodes = int(np.asarray(mass_feat).reshape(-1).shape[0])
+        if not is_row_regular(edge_index, n_nodes):
+            raise ValueError(
+                "edge_index is not row-regular (row != repeat(arange(N), k))"
+                " — required by gather_mode='matmul'; build edges with "
+                "ops/knn.py or use a model with gather_mode='take'")
     edge_index = jnp.asarray(edge_index)
     mean = jnp.asarray(state_mean)
     std = jnp.asarray(state_std)

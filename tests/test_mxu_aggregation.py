@@ -105,3 +105,61 @@ def test_round1_checkpoint_still_loads_and_runs():
         pos.astype(np.float32), vel.astype(np.float32), masses)
     assert np.isfinite(next_pos).all()
     assert np.isfinite(next_vel).all()
+
+
+# -- scatter-free gather mode (round-2: gathers -> one-hot matmuls) -----------
+
+def _dezero(params, scale=0.03):
+    leaves, td = jax.tree.flatten(params)
+    ks = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    return jax.tree.unflatten(td, [
+        l + scale * jax.random.normal(k, l.shape, l.dtype)
+        for l, k in zip(leaves, ks)])
+
+
+def test_gather_modes_identical_fwd_and_grad():
+    """gather_mode='matmul' (one-hot MXU gathers, scatter-free backward) is
+    numerically identical to 'take' for the row-regular edge layouts both
+    ops/knn.py builders emit — forward AND parameter gradients."""
+    from nbody_gnn_hpc_tpu.models import init_model
+    from nbody_gnn_hpc_tpu.ops.knn import fully_connected_edge_index
+
+    n, k = 20, 5
+    r = np.random.RandomState(0)
+    for edges in (np.asarray(knn_edge_index(jnp.asarray(r.randn(n, 3)), k)),
+                  fully_connected_edge_index(n)):
+        m_take = NBodyGNN(7, 16, 2, 6, 0.0, remat=False, gather_mode="take")
+        m_mm = NBodyGNN(7, 16, 2, 6, 0.0, remat=False, gather_mode="matmul")
+        params = _dezero(init_model(m_take, jax.random.PRNGKey(1), n,
+                                    edges.shape[1]))
+        x = jnp.asarray(r.randn(n, 7), jnp.float32)
+        e = jnp.asarray(edges)
+
+        def out(m, p):
+            return m.apply({"params": p}, x, e, deterministic=True)
+
+        np.testing.assert_array_equal(out(m_take, params), out(m_mm, params))
+        g1 = jax.grad(lambda p: out(m_take, p).sum())(params)
+        g2 = jax.grad(lambda p: out(m_mm, p).sum())(params)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_matmul_mode_rejects_irregular_edges():
+    """make_train_step refuses gather_mode='matmul' with a hand-rolled
+    edge set whose rows are not the regular repeat layout."""
+    import optax
+    import pytest
+
+    from nbody_gnn_hpc_tpu.models import init_model
+    from nbody_gnn_hpc_tpu.train.steps import make_train_step
+
+    n = 8
+    bad_edges = np.stack([np.array([0, 0, 1, 3, 5, 5, 6, 7]),
+                          np.array([1, 2, 0, 2, 1, 0, 0, 1])]).astype(np.int32)
+    model = NBodyGNN(7, 8, 1, 6, 0.0, remat=False, gather_mode="matmul")
+    tx = optax.adamw(1e-3)
+    with pytest.raises(ValueError, match="row-regular"):
+        make_train_step(model, tx, bad_edges,
+                        np.zeros(6, np.float32), np.ones(6, np.float32),
+                        np.ones(n, np.float32))
