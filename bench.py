@@ -47,7 +47,7 @@ def main():
 
     from nbody_gnn_hpc_tpu.parallel import make_mesh, simulate_ensemble
     from nbody_gnn_hpc_tpu.sim import shared_masses
-    from nbody_gnn_hpc_tpu.sim.integrator import run_trajectory_batch
+    from nbody_gnn_hpc_tpu.sim.lanes import run_trajectory_batch_lanes
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     masses = shared_masses(N_PARTICLES, seed=42)
@@ -79,7 +79,7 @@ def main():
     state = next_state(traj)
     t0 = time.time()
     for _ in range(REPS):
-        traj = run_trajectory_batch(state, 0.001, N_STEPS, 1, 1e-9)
+        traj = run_trajectory_batch_lanes(state, 0.001, N_STEPS, 1, 1e-9)
         state = next_state(traj)
     _ = float(state.positions.sum())  # one readback syncs the whole chain
     elapsed = time.time() - t0

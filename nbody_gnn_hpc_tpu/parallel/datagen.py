@@ -20,6 +20,7 @@ from nbody_gnn_hpc_tpu.parallel.mesh import (batch_sharding, make_mesh,
 from nbody_gnn_hpc_tpu.sim.forces import SOFTENING, accelerations
 from nbody_gnn_hpc_tpu.sim.initial_conditions import random_initial_conditions
 from nbody_gnn_hpc_tpu.sim.integrator import Trajectory, run_trajectory_batch
+from nbody_gnn_hpc_tpu.sim.lanes import run_trajectory_batch_lanes
 from nbody_gnn_hpc_tpu.sim.state import make_state
 
 
@@ -62,6 +63,12 @@ def simulate_ensemble(seeds: Sequence[int],
         mesh = make_mesh()
 
     state = build_ensemble_state(seeds, n_particles, box_size, shared_masses)
+
+    if mesh is None:
+        # Single device: the sims-in-lanes integrator (sim/lanes.py) is
+        # ~1.8x the vmap formulation at the production batch shape.
+        return run_trajectory_batch_lanes(state, dt, n_steps, save_interval,
+                                          softening)
 
     if mesh is not None:
         n_dev = mesh.devices.size

@@ -10,6 +10,8 @@ from nbody_gnn_hpc_tpu.sim.initial_conditions import (random_initial_conditions,
 from nbody_gnn_hpc_tpu.sim.integrator import (Trajectory, leapfrog_step,
                                               rollout_steps, run_trajectory,
                                               run_trajectory_batch)
+from nbody_gnn_hpc_tpu.sim.lanes import (lanes_accelerations,
+                                         run_trajectory_batch_lanes)
 from nbody_gnn_hpc_tpu.sim.reference_f64 import (TrajectoryF64,
                                                  accelerations_f64,
                                                  measure_numpy_baseline,
@@ -46,6 +48,7 @@ __all__ = [
     "compute_accelerations_direct", "compute_total_energy",
     "kinetic_energy", "potential_energy", "total_energy", "total_momentum",
     "leapfrog_step", "run_trajectory", "run_trajectory_batch", "rollout_steps",
+    "lanes_accelerations", "run_trajectory_batch_lanes",
     "random_initial_conditions", "shared_masses", "make_state",
     "trajectory_to_states", "run_parallel_simulations",
     "TrajectoryF64", "accelerations_f64", "simulate_f64", "total_energy_f64",

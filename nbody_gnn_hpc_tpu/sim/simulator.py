@@ -16,6 +16,7 @@ both faster on TPU and more accurate than theta=0.5 tree forces.
 import warnings
 from typing import Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,6 +24,7 @@ from nbody_gnn_hpc_tpu.sim.energy import total_energy
 from nbody_gnn_hpc_tpu.sim.forces import SOFTENING, accelerations
 from nbody_gnn_hpc_tpu.sim.initial_conditions import random_initial_conditions
 from nbody_gnn_hpc_tpu.sim.integrator import leapfrog_step, run_trajectory
+from nbody_gnn_hpc_tpu.sim.lanes import run_trajectory_batch_lanes
 from nbody_gnn_hpc_tpu.sim.state import SimState, make_state
 
 
@@ -304,17 +306,54 @@ def run_parallel_simulations(configs: list, n_workers: int = None) -> list:
 
     Reference-named surface (``nbody.py:340-362``) — the reference's version
     is broken (it pickles a local closure into ``mp.Pool`` and would crash;
-    SURVEY §2 #25).  This one works: each config runs as a scan-compiled
-    device program sequentially (configs may be heterogeneous; homogeneous
-    ensembles should use :func:`nbody_gnn_hpc_tpu.parallel.simulate_ensemble`
-    which batches them into one sharded program).  ``n_workers`` is accepted
-    for signature parity; device programs don't use host workers.
+    SURVEY §2 #25).  Here, configs that differ only in ``seed`` (same sim
+    parameters, same run parameters) are batched into ONE device program via
+    the sims-in-lanes integrator — the same engine as
+    :func:`nbody_gnn_hpc_tpu.parallel.simulate_ensemble`; heterogeneous
+    stragglers fall back to sequential scan-compiled runs.  Results are
+    returned in input order.  ``n_workers`` is accepted for signature
+    parity; device programs don't use host workers.
     """
     del n_workers
-    results = []
-    for config in configs:
+    results: list = [None] * len(configs)
+
+    # Group by everything except the seed; unhashable custom values simply
+    # opt that config out of batching.
+    groups: dict = {}
+    singles: list = []
+    for idx, config in enumerate(configs):
+        init = dict(config.get("init", {}))
+        run_kw = dict(config.get("run", {}))
+        run_kw.pop("verbose", None)
+        init.pop("seed", None)
+        try:
+            key = (tuple(sorted(init.items())), tuple(sorted(run_kw.items())))
+            hash(key)
+        except TypeError:
+            singles.append(idx)
+            continue
+        groups.setdefault(key, []).append(idx)
+
+    for key, idxs in groups.items():
+        if len(idxs) < 2 or "n_steps" not in dict(key[1]):
+            singles.extend(idxs)
+            continue
+        sims = [NBodySimulator(**configs[i].get("init", {})) for i in idxs]
+        batched = jax.tree_util.tree_map(
+            lambda *leaves: jnp.stack(leaves), *[s.state for s in sims])
+        run_kw = dict(key[1])
+        traj = run_trajectory_batch_lanes(
+            batched, sims[0].dt, run_kw["n_steps"],
+            run_kw.get("save_interval", 1), sims[0].softening)
+        from nbody_gnn_hpc_tpu.parallel.datagen import trajectory_slice
+
+        for slot, i in enumerate(idxs):
+            results[i] = trajectory_to_states(trajectory_slice(traj, slot))
+
+    for idx in singles:
+        config = configs[idx]
         sim = NBodySimulator(**config.get("init", {}))
-        results.append(sim.run(**{"verbose": False, **config.get("run", {})}))
+        results[idx] = sim.run(**{"verbose": False, **config.get("run", {})})
     return results
 
 

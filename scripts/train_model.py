@@ -135,6 +135,8 @@ def main():
         train_dataset.targets = train_dataset.targets[:args.max_samples]
         train_dataset.n_samples = args.max_samples
 
+    import jax
+
     model_config = {
         "node_input_dim": 7,
         "hidden_dim": config.hidden_dim,
@@ -142,8 +144,12 @@ def main():
         "output_dim": 6,
         "dropout": config.dropout,
         # TPU training runs bf16 matmuls (params stay f32); inference
-        # rebuilds the model at f32 from the same checkpoint.
-        "dtype": "float32" if args.no_bf16 else "bfloat16",
+        # rebuilds the model at f32 from the same checkpoint.  Non-TPU
+        # backends stay f32: bf16 buys nothing there, and jax 0.9's CPU
+        # thunk runtime rejects BF16xBF16->F32 dots outright.
+        "dtype": "float32" if (args.no_bf16 or
+                               jax.default_backend() != "tpu")
+                 else "bfloat16",
         "remat": args.remat,
     }
 
