@@ -37,8 +37,8 @@ def main():
     import numpy as np
 
     from nbody_gnn_hpc_tpu.sim import (NBodySimulator, shared_masses)
-    from nbody_gnn_hpc_tpu.sim.integrator import (rollout_steps,
-                                                  run_trajectory_batch)
+    from nbody_gnn_hpc_tpu.sim.integrator import rollout_steps
+    from nbody_gnn_hpc_tpu.sim.lanes import run_trajectory_batch_lanes
     from nbody_gnn_hpc_tpu.parallel import simulate_ensemble
     from nbody_gnn_hpc_tpu.sim.state import SimState
 
@@ -76,7 +76,8 @@ def main():
     holder = {"s": next_state(traj)}
 
     def datagen():
-        t = run_trajectory_batch(holder["s"], 0.001, 400, 1, 1e-9)
+        # sims-in-lanes integrator — the production simulate_ensemble path
+        t = run_trajectory_batch_lanes(holder["s"], 0.001, 400, 1, 1e-9)
         holder["s"] = next_state(t)
 
     def sync2():
