@@ -240,6 +240,31 @@ class ParticleInteractionLayer(nn.Module):
             interpret=jax.default_backend() != "tpu")
 
 
+def resolve_edge_impl(edge_impl: str, gather_mode: str, n_nodes: int,
+                      edge_index, backend: Optional[str] = None) -> str:
+    """Resolve ``edge_impl="auto"`` to "fused" or "xla".
+
+    Fused requires the row-regular edge layout — the same precondition as
+    ``gather_mode="matmul"`` — so "auto" respects an explicit
+    ``gather_mode="take"`` (the documented arbitrary-edge escape hatch),
+    and verifies the layout outright when the edge set is concrete.  Under
+    jit the edges are tracers — there the "matmul" contract applies
+    (make_train_step validates it on the concrete edge set before tracing).
+    """
+    if edge_impl != "auto":
+        return edge_impl
+    if (backend or jax.default_backend()) != "tpu":
+        return "xla"
+    e = edge_index.shape[1]
+    if n_nodes % 8 or e % n_nodes or gather_mode != "matmul":
+        return "xla"
+    if not isinstance(edge_index, jax.core.Tracer):
+        from nbody_gnn_hpc_tpu.ops.knn import is_row_regular
+        if not is_row_regular(edge_index, n_nodes):
+            return "xla"
+    return "fused"
+
+
 class NBodyGNN(nn.Module):
     """GNN predicting the next state as current_state + delta
     (parity: ``model.py:68-170``)."""
@@ -295,12 +320,8 @@ class NBodyGNN(nn.Module):
         # static_argnums counts self at 0: deterministic is arg 4.
         layer_cls = (nn.remat(ParticleInteractionLayer, static_argnums=(4,))
                      if self.remat else ParticleInteractionLayer)
-        edge_impl = self.edge_impl
-        if edge_impl == "auto":
-            n, e = x.shape[0], edge_index.shape[1]
-            shapes_ok = (n % 8 == 0) and (e % n == 0)
-            edge_impl = ("fused" if jax.default_backend() == "tpu"
-                         and shapes_ok else "xla")
+        edge_impl = resolve_edge_impl(self.edge_impl, self.gather_mode,
+                                      x.shape[0], edge_index)
         for i in range(self.n_layers):
             h_new = layer_cls(
                 node_features=self.hidden_dim, hidden_dim=self.hidden_dim,

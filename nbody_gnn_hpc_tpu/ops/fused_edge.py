@@ -169,16 +169,19 @@ def _bwd_kernel(seed_ref, tp_ref, sp_ref, ea_ref, we_ref, g_ref, b_ref,
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, e: int, h: int, k: int, p: float, training: bool,
-           interpret: bool):
+           interpret: bool, bf16_stream: bool):
     """Specialized custom-vjp fused layer for one (n, e, h, k, p, mode)."""
     g = _tile_sources(n, k)
     e_t = g * k
     n_tiles = n // g
     thr = _threshold(p) if training else 0
     inv_keep = 1.0 / (1.0 - p) if training else 1.0
-    # Pure-bf16 dots are rejected by the CPU thunk runtime (jax 0.9), so
-    # interpreter-mode tests run the stream casts in f32.
-    cd = jnp.float32 if interpret else jnp.bfloat16
+    # The stream cast dtype follows the model's compute dtype: bf16 models
+    # aggregate in bf16 (MXU fast path), f32 models stay f32 end-to-end —
+    # evaluate.py/serve.py deliberately rebuild models at f32 for inference
+    # and must not silently lose precision here.  Interpreter mode is
+    # always f32 (pure-bf16 dots are rejected by the jax-0.9 CPU thunks).
+    cd = jnp.bfloat16 if (bf16_stream and not interpret) else jnp.float32
     common = dict(g=g, k=k, thr=thr, inv_keep=inv_keep, training=training, cd=cd)
 
     def fwd_call(tp, sp, ea, we, ga, be, adjT, seed):
@@ -327,8 +330,11 @@ def fused_edge_layer(t_proj: jnp.ndarray, s_proj: jnp.ndarray,
     ea8 = jnp.pad(edge_attr.astype(jnp.float32), ((0, 0), (0, 8 - d)))
     we8 = jnp.pad(w_e.astype(jnp.float32), ((0, 8 - d), (0, 0)))
     training = (not deterministic) and dropout_p > 0.0
-    fn = _build(n, e, h, k, float(dropout_p), training, bool(interpret))
-    adj_dtype = jnp.float32 if interpret else jnp.bfloat16
+    bf16_stream = t_proj.dtype == jnp.bfloat16
+    fn = _build(n, e, h, k, float(dropout_p), training, bool(interpret),
+                bf16_stream)
+    adj_dtype = (jnp.bfloat16 if (bf16_stream and not interpret)
+                 else jnp.float32)
     return fn(t_proj, s_proj, ea8, we8,
               gamma.reshape(1, h).astype(jnp.float32),
               beta.reshape(1, h).astype(jnp.float32),

@@ -23,6 +23,12 @@ from nbody_gnn_hpc_tpu.sim.integrator import Trajectory, run_trajectory_batch
 from nbody_gnn_hpc_tpu.sim.lanes import run_trajectory_batch_lanes
 from nbody_gnn_hpc_tpu.sim.state import make_state
 
+# Above this particle count the lanes integrator's (N, N, lanes) force
+# planes outgrow HBM-friendly sizes (5 planes x N^2 x 128 lanes x 4 B
+# ~= 1.7 GB at N=1024); the vmap path with its large-N kernel dispatch
+# takes over.  The production datagen regime (N=200) sits well under it.
+LANES_MAX_N = 512
+
 
 def build_ensemble_state(seeds: Sequence[int], n_particles: int,
                          box_size: float,
@@ -64,9 +70,12 @@ def simulate_ensemble(seeds: Sequence[int],
 
     state = build_ensemble_state(seeds, n_particles, box_size, shared_masses)
 
-    if mesh is None:
-        # Single device: the sims-in-lanes integrator (sim/lanes.py) is
-        # ~1.8x the vmap formulation at the production batch shape.
+    if mesh is None and n_particles <= LANES_MAX_N:
+        # Single device, small-N regime: the sims-in-lanes integrator
+        # (sim/lanes.py) is ~1.8x the vmap formulation at the production
+        # batch shape.  Large N stays on the vmap path, whose force kernel
+        # dispatches to the blocked/Pallas large-N kernels — the lanes
+        # force materializes O(N^2 * lanes) planes and would OOM there.
         return run_trajectory_batch_lanes(state, dt, n_steps, save_interval,
                                           softening)
 

@@ -109,9 +109,12 @@ class MicroBatcher:
         self.service = service
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
-        self.buckets = tuple(2 ** i for i in
-                             range(max(0, max_batch).bit_length())
-                             if 2 ** i <= max_batch)
+        # Power-of-two buckets, PLUS max_batch itself so the lookup below
+        # always succeeds for any non-power-of-two cap (e.g. max_batch=6
+        # -> buckets (1, 2, 4, 6)).
+        self.buckets = tuple(sorted(
+            {2 ** i for i in range(max(1, max_batch).bit_length())
+             if 2 ** i <= max_batch} | {max_batch}))
         self._lock = threading.Lock()
         self._pending = {}  # (n_particles, n_steps) -> list[_Job]
 
@@ -146,27 +149,37 @@ class MicroBatcher:
                 if len(self._pending[key]) >= self.max_batch:
                     break
             time.sleep(0.0005)
-        with self._lock:
-            jobs = self._pending.pop(key)
-        # Pad to the next bucket by repeating the last system; slice off
-        # the padding after. One compile per bucket, not per batch size.
-        bucket = next(b for b in self.buckets if b >= len(jobs)) \
-            if len(jobs) <= self.max_batch else len(jobs)
-        pad = bucket - len(jobs)
-        take = jobs + [jobs[-1]] * pad
-        try:
-            out = self.service.rollout_batch(
-                np.stack([j.pos for j in take]),
-                np.stack([j.vel for j in take]),
-                np.stack([j.masses for j in take]), n_steps)
-            for i, j in enumerate(jobs):
-                j.result = {"positions": out["positions"][i],
-                            "velocities": out["velocities"][i]}
-        except Exception as e:  # surface to every waiter
+        # Drain in chunks of at most max_batch: requests that slip in
+        # between the wait-loop break and the pop (or beyond the cap) run
+        # as additional bucketed batches instead of one oversized batch
+        # with an unwarmed, never-compiled shape.
+        while True:
+            with self._lock:
+                queue = self._pending.get(key, [])
+                jobs = queue[:self.max_batch]
+                del queue[:self.max_batch]
+            if not jobs:
+                return
+            # Pad to the next bucket by repeating the last system; slice
+            # off the padding after. One compile per bucket, not per batch
+            # size. The bucket lookup cannot fail: len(jobs) <= max_batch
+            # and max_batch is always a bucket.
+            bucket = next(b for b in self.buckets if b >= len(jobs))
+            pad = bucket - len(jobs)
+            take = jobs + [jobs[-1]] * pad
+            try:
+                out = self.service.rollout_batch(
+                    np.stack([j.pos for j in take]),
+                    np.stack([j.vel for j in take]),
+                    np.stack([j.masses for j in take]), n_steps)
+                for i, j in enumerate(jobs):
+                    j.result = {"positions": out["positions"][i],
+                                "velocities": out["velocities"][i]}
+            except Exception as e:  # surface to every waiter
+                for j in jobs:
+                    j.error = e
             for j in jobs:
-                j.error = e
-        for j in jobs:
-            j.event.set()
+                j.event.set()
 
 
 def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,

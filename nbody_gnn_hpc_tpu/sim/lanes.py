@@ -24,6 +24,14 @@ differently), which is within the reference's own fastmath tolerance.
 Lane padding is exact, not approximate: lanes are fully independent (no
 cross-lane arithmetic), so padded sims are dead lanes that cost nothing to
 correctness.
+
+Why the MESH path stays on the vmap formulation (parallel/datagen.py): a
+sharded lanes layout would give each of 8 chips a 128-lane block holding
+only ~38 real sims (300/8), a 3.4x lane-padding waste that cancels the
+layout's ~1.8x win (the vmap form wastes only 1.28x on its 200->256 lane
+pad). Lanes wins when real sims >= ~0.7 * 128 per device; the production
+batch on one chip (300 sims -> 384 lanes, 78% occupancy) is exactly that
+regime, a v5e-8 shard (38/128 = 30%) is not.
 """
 
 from functools import partial

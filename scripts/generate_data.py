@@ -134,7 +134,7 @@ def main():
     done_sims = 0
     while inflight or next_dispatch < len(work):
         while (next_dispatch < len(work)
-               and len(inflight) <= max(0, args.prefetch)):
+               and len(inflight) < max(1, args.prefetch)):
             with timer.stage("dispatch"):
                 inflight.append((work[next_dispatch],
                                  dispatch(work[next_dispatch])))

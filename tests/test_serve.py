@@ -319,3 +319,68 @@ def test_server_survives_fuzz_barrage(server):
             assert code in (400, 404), (path, body, code)
     test_healthz(server)
     test_rollout_endpoint(server)
+
+
+def test_micro_batcher_non_power_of_two_cap_no_deadlock():
+    """Regression: max_batch=6 made the bucket lookup StopIteration for 5
+    concurrent requests (buckets were (1,2,4)), permanently hanging the
+    followers.  max_batch itself is now always a bucket."""
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher
+
+    stub = _StubService()
+    batcher = MicroBatcher(stub, max_batch=6, max_wait_s=0.25)
+    assert batcher.buckets == (1, 2, 4, 6)
+
+    jobs = [_job(s) for s in range(5)]
+    results, errors = _fire(batcher, jobs)
+    assert errors == [None] * 5
+    assert all(r is not None for r in results)
+    assert stub.calls == [6]  # one padded dispatch, not a hang
+    for job, res in zip(jobs, results):
+        np.testing.assert_array_equal(res["positions"], job[0] + 3)
+
+
+def test_micro_batcher_overflow_drains_in_capped_chunks():
+    """More concurrent requests than max_batch run as multiple bucketed
+    batches — never one oversized (uncompiled) dispatch."""
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher
+
+    stub = _StubService()
+    batcher = MicroBatcher(stub, max_batch=4, max_wait_s=0.3)
+    jobs = [_job(s) for s in range(7)]
+    results, errors = _fire(batcher, jobs)
+    assert errors == [None] * 7
+    assert all(r is not None for r in results)
+    assert all(c <= 4 for c in stub.calls), stub.calls
+    for job, res in zip(jobs, results):
+        np.testing.assert_array_equal(res["positions"], job[0] + 3)
+
+
+def test_resolve_edge_impl_guards():
+    """edge_impl='auto' only fuses for row-regular matmul-mode edge sets on
+    TPU (regression for silent wrong results on permuted edges)."""
+    import jax.numpy as jnp
+
+    from nbody_gnn_hpc_tpu.models.gnn import resolve_edge_impl
+    from nbody_gnn_hpc_tpu.ops.knn import knn_edge_index
+
+    n, k = 16, 4
+    pos = jnp.asarray(np.random.RandomState(0).randn(n, 3), jnp.float32)
+    edges = knn_edge_index(pos, k)
+
+    # explicit modes pass through
+    assert resolve_edge_impl("xla", "matmul", n, edges, "tpu") == "xla"
+    assert resolve_edge_impl("fused", "take", n, edges, "tpu") == "fused"
+    # auto: happy path on TPU
+    assert resolve_edge_impl("auto", "matmul", n, edges, "tpu") == "fused"
+    # auto: never on CPU
+    assert resolve_edge_impl("auto", "matmul", n, edges, "cpu") == "xla"
+    # auto: respects gather_mode="take" (arbitrary-edge escape hatch)
+    assert resolve_edge_impl("auto", "take", n, edges, "tpu") == "xla"
+    # auto: concrete but permuted (non-row-regular) edges fall back
+    perm = np.random.RandomState(1).permutation(n * k)
+    shuffled = jnp.asarray(np.asarray(edges)[:, perm])
+    assert resolve_edge_impl("auto", "matmul", n, shuffled, "tpu") == "xla"
+    # auto: bad shapes fall back
+    assert resolve_edge_impl("auto", "matmul", 10,
+                             jnp.zeros((2, 40), jnp.int32), "tpu") == "xla"
