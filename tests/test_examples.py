@@ -31,3 +31,15 @@ def test_galaxy_collision_demo(tmp_path):
         env=cli_env(), capture_output=True, text=True, timeout=600)
     assert result.returncode == 0, result.stderr[-1500:]
     assert (tmp_path / "galaxy_collision.png").exists()
+
+
+@pytest.mark.slow
+def test_serving_demo(tmp_path):
+    result = subprocess.run(
+        [sys.executable, str(REPO / "examples/demo_serving.py"),
+         "--clients", "3", "--particles", "16", "--k-neighbors", "4",
+         "--steps", "4"],
+        env=cli_env(), capture_output=True, text=True, timeout=600)
+    assert result.returncode == 0, result.stderr[-1500:]
+    assert "Concurrent wall clock" in result.stdout
+    assert result.stdout.count("client ") == 3
