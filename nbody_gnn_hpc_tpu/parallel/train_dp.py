@@ -39,6 +39,16 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
     data_shard = batch_sharding(mesh)
     repl = replicated(mesh)
 
+    if getattr(model, "edge_impl", "xla") != "xla":
+        # The fused Pallas edge kernel (ops/fused_edge.py) is a Mosaic
+        # custom call GSPMD cannot partition across the sharded batch —
+        # under this jit it would force replication instead of splitting.
+        # The DP path pins the XLA branch (math-identical); a shard_map
+        # wrapper for per-device fused kernels is future work.
+        import dataclasses
+
+        model = dataclasses.replace(model, edge_impl="xla")
+
     base_step = make_train_step(model, tx, edge_index, state_mean, state_std,
                                 mass_feat, noise_std=noise_std, masses=masses,
                                 criterion=criterion)
