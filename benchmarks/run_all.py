@@ -163,6 +163,39 @@ def main():
         "samples_per_sec": round(24 / dt, 1)}
     print("4. train step:", results["gnn_train_step_b24"], file=sys.stderr)
 
+    # -- 4b. scanned train chain (production Trainer shape) ------------------
+    # The Trainer runs epochs as lax.scan over batches, so per-step dispatch
+    # overhead vanishes; this measures the true device step cost the way
+    # production pays it (50 steps per program).
+    SCAN_LEN = 50
+
+    @jax.jit
+    def train_chain(params, opt_state, s, t, key):
+        def body(carry, i):
+            p, o = carry
+            # nested jit inlines under the outer trace
+            p, o, loss = train_step(p, o, s, t, jax.random.fold_in(key, i))
+            return (p, o), loss
+        (p, o), losses = jax.lax.scan(body, (params, opt_state),
+                                      jnp.arange(SCAN_LEN))
+        return p, o, losses[-1]
+
+    st2 = {"p": params, "o": opt_state, "l": None}
+
+    def tchain():
+        st2["p"], st2["o"], st2["l"] = train_chain(st2["p"], st2["o"], s, t,
+                                                   jax.random.PRNGKey(0))
+
+    def sync4b():
+        float(st2["l"])
+
+    dt = timeit(tchain, sync4b, 3) / SCAN_LEN
+    results["gnn_train_step_b24_scanned"] = {
+        "ms_per_step": round(dt * 1000, 2),
+        "samples_per_sec": round(24 / dt, 1)}
+    print("4b. scanned train step:", results["gnn_train_step_b24_scanned"],
+          file=sys.stderr)
+
     # -- 5. GNN rollout (evaluate protocol: 394 steps, k-NN per step) --------
     from nbody_gnn_hpc_tpu.predict import Predictor
 

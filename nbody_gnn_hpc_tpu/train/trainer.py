@@ -19,6 +19,7 @@ TPU-first deviations:
 """
 
 import json
+import time
 from pathlib import Path
 from typing import Dict, Optional
 
@@ -144,8 +145,12 @@ class Trainer:
                                  int(self.edge_index.shape[1]))
         self.opt_state = self.tx.init(self.params)
 
+        # epoch_time_s is additive beyond the reference's history keys
+        # (train.py:563-567) — readers that expect the reference schema
+        # ignore it; the printed per-epoch line format stays parity-exact.
         self.history = {"train_loss": [], "val_loss": [], "learning_rate": [],
-                        "energy_loss": [], "momentum_loss": []}
+                        "energy_loss": [], "momentum_loss": [],
+                        "epoch_time_s": []}
         self.best_val_loss = float("inf")
         self.current_epoch = 0
 
@@ -303,6 +308,7 @@ class Trainer:
             current_lr = float(cosine_warm_restarts(start_epoch + epoch,
                                                     self.learning_rate))
 
+            epoch_t0 = time.time()
             train_loss = self.train_epoch()
             self.history["train_loss"].append(train_loss)
 
@@ -311,6 +317,11 @@ class Trainer:
             self.history["learning_rate"].append(current_lr)
             self.history["energy_loss"].append(val_details.get("energy", 0))
             self.history["momentum_loss"].append(val_details.get("momentum", 0))
+            # train_loss/val_loss above are host floats, so the device work
+            # has completed by here (the axon backend needs a readback to
+            # sync — block_until_ready is a no-op there).
+            self.history.setdefault("epoch_time_s", []).append(
+                round(time.time() - epoch_t0, 3))
 
             if verbose:
                 best_marker = " ★ BEST" if val_loss < self.best_val_loss else ""

@@ -107,8 +107,12 @@ def test_training_decreases_loss(tiny_trainer):
                             save_every=2, verbose=False)
     assert len(history["train_loss"]) == 5
     assert history["val_loss"][-1] < history["val_loss"][0]
+    # reference keys (train.py:563-567) plus the documented additive
+    # epoch_time_s (ignored by every schema-parity reader)
     assert set(history) == {"train_loss", "val_loss", "learning_rate",
-                            "energy_loss", "momentum_loss"}
+                            "energy_loss", "momentum_loss", "epoch_time_s"}
+    assert len(history["epoch_time_s"]) == 5
+    assert all(t >= 0 for t in history["epoch_time_s"])
     # Checkpoint cadence: best + every-2 + final (train.py:519-533).
     assert (model_dir / "best_model.pt").exists()
     assert (model_dir / "checkpoint_epoch_2.pt").exists()
