@@ -167,7 +167,7 @@ def main():
     # The Trainer runs epochs as lax.scan over batches, so per-step dispatch
     # overhead vanishes; this measures the true device step cost the way
     # production pays it (50 steps per program).
-    SCAN_LEN = 50
+    SCAN_LEN = 200
 
     @jax.jit
     def train_chain(params, opt_state, s, t, key):
@@ -189,7 +189,7 @@ def main():
     def sync4b():
         float(st2["l"])
 
-    dt = timeit(tchain, sync4b, 3) / SCAN_LEN
+    dt = timeit(tchain, sync4b, 5) / SCAN_LEN
     results["gnn_train_step_b24_scanned"] = {
         "ms_per_step": round(dt * 1000, 2),
         "samples_per_sec": round(24 / dt, 1)}
