@@ -149,7 +149,8 @@ class ParticleInteractionLayer(nn.Module):
     gather_mode: str = "take"  # "take" (gather/scatter) | "matmul" (MXU)
     # "xla": the matmul/take formulations below. "fused": single Pallas
     # kernel for the whole edge stream (ops/fused_edge.py) — TPU only,
-    # row-regular edges, N%8==0; same parameter tree either way.
+    # row-regular edges (any N; odd N pads internally); same parameter
+    # tree either way.
     edge_impl: str = "xla"
 
     @nn.compact
@@ -256,7 +257,7 @@ def resolve_edge_impl(edge_impl: str, gather_mode: str, n_nodes: int,
     if (backend or jax.default_backend()) != "tpu":
         return "xla"
     e = edge_index.shape[1]
-    if n_nodes % 8 or e % n_nodes or gather_mode != "matmul":
+    if e % n_nodes or gather_mode != "matmul":
         return "xla"
     if not isinstance(edge_index, jax.core.Tracer):
         from nbody_gnn_hpc_tpu.ops.knn import is_row_regular

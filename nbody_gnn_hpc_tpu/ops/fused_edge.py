@@ -321,12 +321,26 @@ def fused_edge_layer(t_proj: jnp.ndarray, s_proj: jnp.ndarray,
 
     Returns:
         (N, H) float32 per-target sums of the processed edge messages.
+
+    N need not be a multiple of 8: the wrapper pads nodes (and their k
+    dummy edges) up to the next multiple.  Padded edges have all-zero adjT
+    rows, so they aggregate nothing; the pad/slice ops live OUTSIDE the
+    custom VJP, so jax differentiates through them automatically.
     """
     n, h = t_proj.shape
     e, d = edge_attr.shape
-    if n % 8 or e != n * k:
-        raise ValueError(f"fused_edge_layer needs N%8==0 and E==N*k; "
+    if e != n * k:
+        raise ValueError(f"fused_edge_layer needs row-regular E==N*k; "
                          f"got N={n}, E={e}, k={k}")
+    n_orig = n
+    pad_n = (-n) % 8
+    if pad_n:
+        t_proj = jnp.pad(t_proj, ((0, pad_n), (0, 0)))
+        s_proj = jnp.pad(s_proj, ((0, pad_n), (0, 0)))
+        edge_attr = jnp.pad(edge_attr, ((0, pad_n * k), (0, 0)))
+        adjT = jnp.pad(adjT, ((0, pad_n * k), (0, pad_n)))
+        n += pad_n
+        e += pad_n * k
     ea8 = jnp.pad(edge_attr.astype(jnp.float32), ((0, 0), (0, 8 - d)))
     we8 = jnp.pad(w_e.astype(jnp.float32), ((0, 8 - d), (0, 0)))
     training = (not deterministic) and dropout_p > 0.0
@@ -335,7 +349,8 @@ def fused_edge_layer(t_proj: jnp.ndarray, s_proj: jnp.ndarray,
                 bf16_stream)
     adj_dtype = (jnp.bfloat16 if (bf16_stream and not interpret)
                  else jnp.float32)
-    return fn(t_proj, s_proj, ea8, we8,
-              gamma.reshape(1, h).astype(jnp.float32),
-              beta.reshape(1, h).astype(jnp.float32),
-              adjT.astype(adj_dtype), seed.astype(jnp.int32))
+    out = fn(t_proj, s_proj, ea8, we8,
+             gamma.reshape(1, h).astype(jnp.float32),
+             beta.reshape(1, h).astype(jnp.float32),
+             adjT.astype(adj_dtype), seed.astype(jnp.int32))
+    return out[:n_orig] if pad_n else out

@@ -112,14 +112,46 @@ def test_fused_op_matches_reference_math():
                                rtol=2e-5, atol=2e-5)
 
 
-def test_fused_rejects_bad_shapes():
-    rng = np.random.RandomState(0)
-    tp = jnp.zeros((10, H))  # N=10 not divisible by 8
-    with pytest.raises(ValueError, match="N%8"):
+def test_fused_rejects_non_row_regular_counts():
+    tp = jnp.zeros((16, H))
+    with pytest.raises(ValueError, match="row-regular"):
         fused_edge_layer(tp, tp, jnp.zeros((40, 5)), jnp.zeros((5, H)),
                          jnp.zeros(H), jnp.zeros(H),
-                         jnp.zeros((40, 10)), jnp.zeros((1, 1), jnp.int32),
+                         jnp.zeros((40, 16)), jnp.zeros((1, 1), jnp.int32),
                          k=4, deterministic=True, interpret=True)
+
+
+def test_fused_odd_n_pads_transparently():
+    """N not divisible by 8 (e.g. the CLI-default 500 particles) pads nodes
+    + dummy edges internally; results and grads match the XLA branch."""
+    n, k = 10, 3
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(n, 7), jnp.float32)
+    pos = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    edges = knn_edge_index(pos, k)
+    kw = dict(node_input_dim=7, hidden_dim=H, n_layers=2, output_dim=6,
+              dropout=0.1, remat=False, dtype=jnp.float32)
+    xla_m = NBodyGNN(edge_impl="xla", **kw)
+    fused_m = NBodyGNN(edge_impl="fused", **kw)
+    params = init_model(xla_m, jax.random.PRNGKey(1), n, n * k)
+    out_x = xla_m.apply({"params": params}, x, edges, pos,
+                        deterministic=True)
+    out_f = fused_m.apply({"params": params}, x, edges, pos,
+                          deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(m, p):
+        return jnp.sum(m.apply({"params": p}, x, edges, pos,
+                               deterministic=True) ** 2)
+
+    g_x = jax.grad(lambda p: loss(xla_m, p))(params)
+    g_f = jax.grad(lambda p: loss(fused_m, p))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_x),
+                    jax.tree_util.tree_leaves(g_f)):
+        scale = np.abs(np.asarray(a)).max() + 1e-8
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5 * scale)
 
 
 def test_auto_resolves_to_xla_on_cpu():
