@@ -260,14 +260,23 @@ def write_manifest(output_dir, train_sims, val_sims, sequence_length,
 
 
 def datasets_from_manifest(manifest_path, k_neighbors: Optional[int] = None,
-                           include_mass: bool = True):
+                           include_mass: bool = True, cache: bool = True):
     """(train_dataset, val_dataset) from a ``--no-windows`` manifest.
 
     Equivalent to loading ``train_dataset.h5``/``val_dataset.h5`` built
     from the same trajectories: the val set uses the train set's
     normalization stats, matching ``scripts/train_model.py``'s windowed
     path (reference ``train_model.py:94-100``).
+
+    ``cache``: keep an uncompressed ``.tensors.npz`` sidecar next to the
+    manifest — assembling the tensors from 300 lzf trajectory files costs
+    ~1-3 minutes of single-core decompression per training launch; the
+    sidecar reloads in seconds.  Invalidated by any change to the manifest
+    spec or to the trajectory files' sizes/mtimes.  Norm stats and k-NN
+    edges are recomputed from the cached tensors (seeded draws, identical
+    either way).
     """
+    import hashlib
     import json
     from pathlib import Path
 
@@ -279,9 +288,53 @@ def datasets_from_manifest(manifest_path, k_neighbors: Optional[int] = None,
     if spec.get("format") != "nbody-gnn-trajectory-manifest":
         raise ValueError(f"{manifest_path} is not a trajectory manifest")
 
-    manager = CheckpointManager(str(manifest_path.parent
-                                    / spec["checkpoint_dir"]))
+    ckpt_dir = manifest_path.parent / spec["checkpoint_dir"]
+    manager = CheckpointManager(str(ckpt_dir))
     seq_len, stride = spec["sequence_length"], spec.get("stride", 1)
+    val_names = spec.get("val_sims") or []
+
+    cache_path = Path(str(manifest_path) + ".tensors.npz")
+    file_stats = []
+    for name in list(spec["train_sims"]) + list(val_names):
+        p = ckpt_dir / f"{name}_trajectory.h5"
+        try:
+            st = p.stat()
+            file_stats.append((name, st.st_size, int(st.st_mtime)))
+        except OSError:
+            file_stats.append((name, -1, -1))
+    tag = hashlib.sha256(json.dumps(
+        {"train": list(spec["train_sims"]), "val": list(val_names),
+         "seq": seq_len, "stride": stride, "files": file_stats},
+        sort_keys=True).encode()).hexdigest()
+
+    def _dataset(last, targets, masses, external=None):
+        ds = GNNDataset.__new__(GNNDataset)
+        ds.data_path = str(manifest_path)
+        ds.sequence_length = seq_len
+        ds.k_neighbors = k_neighbors
+        ds.include_mass = include_mass
+        ds.last_states = last
+        ds.targets = targets
+        ds.n_samples = int(last.shape[0])
+        ds.n_particles = int(last.shape[1])
+        ds.masses = masses
+        ds._init_stats_and_edges(external)
+        return ds
+
+    if cache and cache_path.exists():
+        try:
+            cached = np.load(cache_path, allow_pickle=False)
+            if str(cached["tag"]) == tag:
+                print(f"  Loaded tensors from sidecar cache {cache_path.name}")
+                train = _dataset(cached["train_states"], cached["train_targets"],
+                                 cached["masses"])
+                val = _dataset(cached["val_states"], cached["val_targets"],
+                               cached["masses"],
+                               external=train.get_normalization_stats()) \
+                    if len(cached["val_states"]) else None
+                return train, val
+        except Exception:
+            pass  # unreadable/stale cache -> rebuild
 
     def _load(names):
         return [manager.load_trajectory(n) for n in names]
@@ -289,10 +342,21 @@ def datasets_from_manifest(manifest_path, k_neighbors: Optional[int] = None,
     train = GNNDataset.from_trajectories(
         _load(spec["train_sims"]), sequence_length=seq_len, stride=stride,
         k_neighbors=k_neighbors, include_mass=include_mass)
-    val_names = spec.get("val_sims") or []
     val = GNNDataset.from_trajectories(
         _load(val_names), sequence_length=seq_len, stride=stride,
         k_neighbors=k_neighbors, include_mass=include_mass,
         external_norm_stats=train.get_normalization_stats(),
     ) if val_names else None
+
+    if cache:
+        try:
+            empty = np.zeros((0,) + train.last_states.shape[1:], np.float32)
+            np.savez(cache_path, tag=tag,
+                     train_states=train.last_states,
+                     train_targets=train.targets,
+                     val_states=val.last_states if val else empty,
+                     val_targets=val.targets if val else empty,
+                     masses=np.asarray(train.masses))
+        except Exception as e:  # cache write is best-effort
+            print(f"  ! sidecar cache write failed: {e}")
     return train, val

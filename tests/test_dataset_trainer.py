@@ -262,3 +262,54 @@ def test_manifest_roundtrip(tmp_path):
                                           k_neighbors=3)
     np.testing.assert_allclose(train.last_states, direct.last_states,
                                rtol=0, atol=0)
+
+
+def test_manifest_sidecar_cache(tmp_path):
+    """Second datasets_from_manifest load hits the .tensors.npz sidecar and
+    reproduces identical tensors/stats; touching a trajectory file
+    invalidates it."""
+    import os
+    import time as _time
+
+    from nbody_gnn_hpc_tpu.io import CheckpointManager
+    from nbody_gnn_hpc_tpu.train import datasets_from_manifest, write_manifest
+
+    trajs, _ = _synthetic_trajs(9, n_trajs=3, n_steps=15)
+    ckpt_dir = tmp_path / "checkpoints"
+    manager = CheckpointManager(str(ckpt_dir))
+    names = []
+    for i, t in enumerate(trajs):
+        name = f"sim_{i:04d}"
+        states = [{"positions": t["positions"][s],
+                   "velocities": t["velocities"][s],
+                   "accelerations": np.zeros_like(t["positions"][s]),
+                   "masses": t["masses"], "time": 0.1 * s, "step": s}
+                  for s in range(t["n_steps"])]
+        manager.save_trajectory(states, name)
+        names.append(name)
+    write_manifest(tmp_path, names[:2], names[2:], sequence_length=5)
+    manifest = tmp_path / "dataset_manifest.json"
+
+    t1, v1 = datasets_from_manifest(manifest, k_neighbors=3)
+    sidecar = tmp_path / "dataset_manifest.json.tensors.npz"
+    assert sidecar.exists()
+
+    t2, v2 = datasets_from_manifest(manifest, k_neighbors=3)
+    np.testing.assert_array_equal(t2.last_states, t1.last_states)
+    np.testing.assert_array_equal(t2.targets, t1.targets)
+    np.testing.assert_array_equal(v2.last_states, v1.last_states)
+    np.testing.assert_array_equal(t2.state_mean, t1.state_mean)
+    np.testing.assert_array_equal(np.asarray(t2.edge_index),
+                                  np.asarray(t1.edge_index))
+    np.testing.assert_array_equal(np.asarray(t2.get_masses_tensor()),
+                                  np.asarray(t1.get_masses_tensor()))
+
+    # invalidation: bump a trajectory file's mtime
+    f = ckpt_dir / f"{names[0]}_trajectory.h5"
+    os.utime(f, (f.stat().st_atime, f.stat().st_mtime + 10))
+    t3, _ = datasets_from_manifest(manifest, k_neighbors=3)  # rebuilds
+    np.testing.assert_array_equal(t3.last_states, t1.last_states)
+
+    # cache=False bypasses entirely
+    t4, _ = datasets_from_manifest(manifest, k_neighbors=3, cache=False)
+    np.testing.assert_array_equal(t4.last_states, t1.last_states)
