@@ -75,6 +75,35 @@ class RolloutService:
         return {"positions": np.asarray(out["positions"]),
                 "velocities": np.asarray(out["velocities"])}
 
+    def simulate(self, positions, velocities, masses, n_steps: int,
+                 dt: float = 0.001, trajectory: bool = False,
+                 save_interval: int = 1):
+        """Exact-physics rollout on the same device (the HPC engine as a
+        service, beyond the reference's file-based workflow).  Returns the
+        final state, or the saved trajectory when ``trajectory`` is set."""
+        import jax.numpy as jnp
+
+        from nbody_gnn_hpc_tpu.sim import accelerations
+        from nbody_gnn_hpc_tpu.sim.integrator import (rollout_steps,
+                                                      run_trajectory)
+        from nbody_gnn_hpc_tpu.sim.state import make_state
+
+        state = make_state(np.asarray(positions, np.float32),
+                           np.asarray(velocities, np.float32),
+                           np.asarray(masses, np.float32))
+        state = state._replace(
+            accelerations=accelerations(state.positions, state.masses))
+        with self._lock:
+            if trajectory:
+                traj = run_trajectory(state, dt, int(n_steps),
+                                      save_interval=int(save_interval))
+                return {"positions": np.asarray(traj.positions),
+                        "velocities": np.asarray(traj.velocities),
+                        "times": np.asarray(traj.times)}
+            fin = rollout_steps(state, dt, int(n_steps))
+            return {"positions": np.asarray(fin.positions),
+                    "velocities": np.asarray(fin.velocities)}
+
 
 class _Job:
     """One queued single-system rollout awaiting a coalesced dispatch."""
@@ -233,7 +262,7 @@ def make_handler(service: RolloutService,
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/rollout", "/rollout_batch"):
+            if self.path not in ("/rollout", "/rollout_batch", "/simulate"):
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -241,13 +270,24 @@ def make_handler(service: RolloutService,
                 payload = json.loads(self.rfile.read(length))
                 batched = self.path == "/rollout_batch"
                 pos, vel, masses, n_steps = _validate(payload, batched)
-                if batched:
-                    fn = service.rollout_batch
+                if self.path == "/simulate":
+                    dt = float(payload.get("dt", 0.001))
+                    if not (0.0 < dt <= 1.0) or not np.isfinite(dt):
+                        raise ValueError(f"dt out of range: {dt}")
+                    save_interval = int(payload.get("save_interval", 1))
+                    if not (1 <= save_interval <= n_steps):
+                        raise ValueError(
+                            f"save_interval out of range: {save_interval}")
+                    out = service.simulate(
+                        pos, vel, masses, n_steps, dt=dt,
+                        trajectory=bool(payload.get("trajectory", False)),
+                        save_interval=save_interval)
+                elif batched:
+                    out = service.rollout_batch(pos, vel, masses, n_steps)
                 elif batcher is not None:
-                    fn = batcher.rollout
+                    out = batcher.rollout(pos, vel, masses, n_steps)
                 else:
-                    fn = service.rollout
-                out = fn(pos, vel, masses, n_steps)
+                    out = service.rollout(pos, vel, masses, n_steps)
                 self._reply(200, {k: v.tolist() for k, v in out.items()})
             except ValueError as e:
                 self._reply(400, {"error": str(e)})

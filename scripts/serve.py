@@ -74,7 +74,7 @@ def main():
 
     httpd = serve(service, host=args.host, port=args.port, batcher=batcher)
     print(f"Serving on http://{args.host}:{args.port} "
-          f"(endpoints: /healthz, /rollout, /rollout_batch)")
+          f"(endpoints: /healthz, /rollout, /rollout_batch, /simulate)")
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

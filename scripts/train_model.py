@@ -57,6 +57,12 @@ def build_parser():
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize interaction layers in backward "
                              "(lower memory, ~35%% slower)")
+    parser.add_argument("--edge-impl", choices=("auto", "xla", "fused"),
+                        default="auto",
+                        help="GNN edge-stream implementation: the fused "
+                             "Pallas kernel (TPU), the XLA formulation, or "
+                             "auto (fused on TPU when the edge layout "
+                             "allows)")
     parser.add_argument("--ckpt-backend", choices=("pickle", "orbax"),
                         default="pickle",
                         help="Checkpoint backend: pickle .pt files "
@@ -151,6 +157,7 @@ def main():
                                jax.default_backend() != "tpu")
                  else "bfloat16",
         "remat": args.remat,
+        "edge_impl": args.edge_impl,
     }
 
     print(f"\n  Train samples: {len(train_dataset)}")

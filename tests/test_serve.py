@@ -384,3 +384,43 @@ def test_resolve_edge_impl_guards():
     # auto: bad shapes fall back
     assert resolve_edge_impl("auto", "matmul", 10,
                              jnp.zeros((2, 40), jnp.int32), "tpu") == "xla"
+
+
+def test_simulate_endpoint(server):
+    """/simulate runs the exact-physics engine: final state by default,
+    sampled trajectory on request; momentum is conserved."""
+    rng = np.random.RandomState(5)
+    n = 12
+    payload = {
+        "positions": rng.uniform(-3, 3, (n, 3)).tolist(),
+        "velocities": np.zeros((n, 3)).tolist(),
+        "masses": rng.uniform(1e10, 1e12, n).tolist(),
+        "n_steps": 20,
+    }
+    out = post(f"{server}/simulate", payload)
+    pos = np.asarray(out["positions"])
+    assert pos.shape == (n, 3)
+    assert np.isfinite(pos).all()
+
+    out2 = post(f"{server}/simulate", {**payload, "trajectory": True,
+                                       "save_interval": 5})
+    traj = np.asarray(out2["positions"])
+    assert traj.shape == (5, n, 3)  # initial + 20/5 saves
+    assert len(out2["times"]) == 5
+    # momentum conservation across the trajectory (masses started at rest:
+    # total momentum stays ~0 relative to its internal scale)
+    vels = np.asarray(out2["velocities"], np.float64)
+    m = np.asarray(payload["masses"], np.float64)
+    p = (vels * m[None, :, None]).sum(axis=1)
+    scale = np.abs(vels * m[None, :, None]).sum(axis=1).max() + 1e-30
+    assert np.abs(p).max() / scale < 1e-3
+
+    # validation surface
+    import urllib.error
+    for bad in ({**payload, "dt": -1.0}, {**payload, "save_interval": 999},
+                {**payload, "n_steps": 0}):
+        try:
+            post(f"{server}/simulate", bad)
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
