@@ -25,10 +25,26 @@ from nbody_gnn_hpc_tpu.train.steps import make_train_step
 def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
                        mass_feat, mesh, noise_std: float = 0.003,
                        masses: Optional[jnp.ndarray] = None,
-                       criterion: Optional[PhysicsInformedLoss] = None):
+                       criterion: Optional[PhysicsInformedLoss] = None,
+                       impl: str = "gspmd"):
     """Build a jitted data-parallel train step.
 
     Args mirror :func:`make_train_step` plus ``mesh`` (1-D, axis 'data').
+
+    ``impl`` selects how the batch is split:
+
+    - ``"gspmd"`` (default): one global program with sharding annotations —
+      the compiler partitions it and places the gradient psum.  Per-sample
+      RNG streams are identical to the single-device step (8-dev == 1-dev
+      bitwise), but the fused Pallas edge kernel is a custom call GSPMD
+      cannot partition, so this path pins the XLA edge branch
+      (math-identical).
+    - ``"shard_map"``: per-device local steps with an explicit gradient
+      ``pmean`` — Pallas kernels run PER DEVICE, so the fused edge kernel
+      stays fused on multi-chip.  Stochastic parts (noise/dropout) fold the
+      device index into the key: deterministic runs match gspmd exactly;
+      stochastic runs draw per-shard streams (same distribution, different
+      bits than single-device).
 
     Returns:
         step(params, opt_state, states, targets, key) ->
@@ -36,15 +52,14 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
         with states/targets (B, N, 6) RAW (unnormalized), B divisible by the
         mesh size.
     """
+    if impl not in ("gspmd", "shard_map"):
+        raise ValueError(f"unknown dp impl {impl!r}")
     data_shard = batch_sharding(mesh)
     repl = replicated(mesh)
 
-    if getattr(model, "edge_impl", "xla") != "xla":
-        # The fused Pallas edge kernel (ops/fused_edge.py) is a Mosaic
-        # custom call GSPMD cannot partition across the sharded batch —
-        # under this jit it would force replication instead of splitting.
-        # The DP path pins the XLA branch (math-identical); a shard_map
-        # wrapper for per-device fused kernels is future work.
+    if impl == "gspmd" and getattr(model, "edge_impl", "xla") != "xla":
+        # See the impl docstring: GSPMD would replicate the Mosaic custom
+        # call instead of splitting it; pin the math-identical XLA branch.
         import dataclasses
 
         model = dataclasses.replace(model, edge_impl="xla")
@@ -52,6 +67,30 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
     base_step = make_train_step(model, tx, edge_index, state_mean, state_std,
                                 mass_feat, noise_std=noise_std, masses=masses,
                                 criterion=criterion)
+
+    if impl == "shard_map":
+        import optax
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_step(params, opt_state, s, t, key):
+            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+
+            def loss_fn(p):
+                total, _ = base_step.compute_loss(p, s, t, key)
+                return total
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            grads = jax.lax.pmean(grads, "data")
+            loss = jax.lax.pmean(loss, "data")
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        return jax.jit(shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P(), P("data"), P("data"), P()),
+            out_specs=(P(), P(), P()),
+            check_rep=False))
 
     @partial(jax.jit,
              in_shardings=(repl, repl, data_shard, data_shard, repl),

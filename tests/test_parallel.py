@@ -113,3 +113,51 @@ def test_dp_train_step_runs_multiple_steps(rng):
         params, opt_state, loss = step(params, opt_state, states, targets, sub)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
+
+
+def test_shard_map_dp_matches_gspmd(rng):
+    """impl='shard_map' (per-device local steps + grad pmean) matches the
+    GSPMD formulation and the single-device step when deterministic, for
+    BOTH edge implementations — the fused Pallas kernel runs per-device
+    under shard_map (interpret mode on this CPU mesh)."""
+    from nbody_gnn_hpc_tpu.ops import knn_edge_index
+    from nbody_gnn_hpc_tpu.train.loss import PhysicsInformedLoss
+    from nbody_gnn_hpc_tpu.train.steps import make_train_step
+
+    n, k, b = 16, 4, 16
+    edges = np.asarray(knn_edge_index(jnp.asarray(rng.randn(n, 3)), k))
+    masses = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
+    mesh = make_mesh()
+    s = jnp.asarray(rng.randn(b, n, 6), jnp.float32)
+    t = jnp.asarray(np.asarray(s) + 0.01, jnp.float32)
+    key = jax.random.PRNGKey(3)
+
+    for edge_impl in ("xla", "fused"):
+        model = NBodyGNN(node_input_dim=7, hidden_dim=32, n_layers=2,
+                         output_dim=6, dropout=0.0, remat=False,
+                         dtype=jnp.float32, edge_impl=edge_impl)
+        params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+        tx = optax.adamw(1e-3)
+        opt_state = tx.init(params)
+        common = dict(noise_std=0.0, masses=masses,
+                      criterion=PhysicsInformedLoss())
+        base = make_train_step(model, tx, edges, np.zeros(6, np.float32),
+                               np.ones(6, np.float32),
+                               (np.asarray(masses)
+                                / np.asarray(masses).mean())[:, None],
+                               **common)
+        p_ref, o_ref, l_ref = jax.jit(base)(params, opt_state, s, t, key)
+
+        from nbody_gnn_hpc_tpu.parallel import make_dp_train_step
+        sh = make_dp_train_step(model, tx, edges, np.zeros(6, np.float32),
+                                np.ones(6, np.float32),
+                                (np.asarray(masses)
+                                 / np.asarray(masses).mean())[:, None],
+                                mesh, impl="shard_map", **common)
+        p_sh, o_sh, l_sh = sh(params, opt_state, s, t, key)
+        np.testing.assert_allclose(float(l_sh), float(l_ref), rtol=1e-6)
+        for a, bb in zip(jax.tree_util.tree_leaves(p_ref),
+                         jax.tree_util.tree_leaves(p_sh)):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                       rtol=1e-6, atol=1e-8,
+                                       err_msg=edge_impl)
