@@ -160,3 +160,73 @@ def test_galilean_invariance_of_momentum(sys_, boost):
     expected = p0 + m.sum() * boost
     scale = np.abs(expected).max() + np.abs(p0).max() + 1e-30
     assert np.abs(p1 - expected).max() / scale < 1e-3
+
+
+@settings(max_examples=25, deadline=None)
+@given(systems(), st.integers(min_value=1, max_value=400))
+def test_lanes_layout_matches_vmap_kernel(sys_, b_seed):
+    """The sims-in-lanes force (sim/lanes.py) agrees with the production
+    vmap kernel for ANY ensemble assembled from hypothesis-drawn systems —
+    the lane transposition is a pure layout change."""
+    from nbody_gnn_hpc_tpu.sim import G, lanes_accelerations, \
+        pairwise_accelerations
+    from nbody_gnn_hpc_tpu.sim.lanes import _pad_lanes, from_planes, to_planes
+
+    pos, masses = sys_
+    rng = np.random.RandomState(b_seed)
+    b = rng.randint(1, 5)
+    # build a small ensemble by jittering the drawn system
+    pos_b = np.stack([pos + rng.randn(*pos.shape) for _ in range(b)])
+    m_b = np.broadcast_to(masses, (b,) + masses.shape)
+    a_ref = np.asarray(pairwise_accelerations(
+        jnp.asarray(pos_b, jnp.float32), jnp.asarray(m_b, jnp.float32)))
+
+    b_pad = _pad_lanes(b)
+    gm = jnp.pad(jnp.float32(G) * jnp.asarray(m_b, jnp.float32).T,
+                 ((0, 0), (0, b_pad - b)))
+    planes = to_planes(jnp.asarray(pos_b, jnp.float32), b_pad)
+    a = np.asarray(from_planes(lanes_accelerations(planes, gm), b))
+    scale = np.abs(a_ref).max() + 1e-30
+    np.testing.assert_allclose(a, a_ref, rtol=1e-4, atol=2e-5 * scale)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(min_value=2, max_value=21), st.integers(min_value=1,
+                                                           max_value=4),
+       st.integers(min_value=0, max_value=10_000))
+def test_fused_padding_any_shape(n, k, seed):
+    """The fused edge op (interpret mode) matches the plain-jnp reference
+    for ANY (N, k) with k < N — including every N % 8 residue."""
+    import jax
+
+    from nbody_gnn_hpc_tpu.models.gnn import target_adjacency
+    from nbody_gnn_hpc_tpu.ops.fused_edge import fused_edge_layer
+    from nbody_gnn_hpc_tpu.ops.knn import knn_edge_index
+
+    if k >= n - 1:
+        k = max(1, n - 2)
+    h = 16
+    rng = np.random.RandomState(seed)
+    tp = jnp.asarray(rng.randn(n, h), jnp.float32)
+    sp = jnp.asarray(rng.randn(n, h), jnp.float32)
+    ea = jnp.asarray(rng.randn(n * k, 5), jnp.float32)
+    we = jnp.asarray(rng.randn(5, h), jnp.float32)
+    gamma = jnp.asarray(rng.randn(h), jnp.float32)
+    beta = jnp.asarray(rng.randn(h), jnp.float32)
+    pos = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    edges = knn_edge_index(pos, k)
+    adj, _ = target_adjacency(edges, n, jnp.float32)
+
+    got = np.asarray(fused_edge_layer(
+        tp, sp, ea, we, gamma, beta, adj.T, jnp.zeros((1, 1), jnp.int32),
+        k=k, deterministic=True, interpret=True))
+
+    z = (jnp.take(tp, edges[1], axis=0) + jnp.repeat(sp, k, axis=0)
+         + ea @ we)
+    mu = z.mean(axis=1, keepdims=True)
+    var = (z * z).mean(axis=1, keepdims=True) - mu * mu
+    y = (z - mu) * jax.lax.rsqrt(var + 1e-6) * gamma + beta
+    a = y * jax.nn.sigmoid(y)
+    want = np.asarray(adj @ a)
+    scale = np.abs(want).max() + 1e-30
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5 * scale)
