@@ -12,8 +12,10 @@ Checks:
   2. force kernel         — f32 XLA kernel vs the f64 NumPy oracle (N=200)
   3. symmetric Pallas     — large-N kernel vs the plain XLA kernel (N=2048)
   4. trajectory physics   — momentum conservation over a 50-step scan
-  5. train step           — bf16 GNN step runs, loss finite and decreasing
-  6. rollout              — scan-compiled predictor rollout, finite output
+  5. fused edge kernel    — fused Pallas stream vs the XLA branch, seeded
+                            in-kernel dropout determinism
+  6. train step           — bf16 GNN step runs, loss finite and decreasing
+  7. rollout              — scan-compiled predictor rollout, finite output
 
 Usage:
     python scripts/smoke_tpu.py            # all checks
