@@ -136,3 +136,18 @@ def test_run_parallel_simulations_batches_homogeneous():
             np.testing.assert_allclose(gs["positions"], ws["positions"],
                                        rtol=3e-5, atol=1e-6)
             assert gs["step"] == ws["step"]
+
+
+def test_large_n_ensemble_uses_vmap_path():
+    """Above LANES_MAX_N the ensemble must route to the vmap integrator
+    (the lanes force plane is O(N^2 * lanes) and would OOM at large N);
+    results still match the per-sim path."""
+    from nbody_gnn_hpc_tpu.parallel import datagen, simulate_ensemble
+
+    assert datagen.LANES_MAX_N == 512
+    n = datagen.LANES_MAX_N + 8  # just over the gate (small enough for CPU)
+    masses = shared_masses(n, seed=42)
+    traj = simulate_ensemble([42, 43], n, 2, box_size=10.0, dt=1e-3,
+                             shared_masses=masses, mesh=None)
+    assert traj.positions.shape == (2, 3, n, 3)
+    assert np.isfinite(np.asarray(traj.positions)).all()
