@@ -204,7 +204,9 @@ class MicroBatcher:
         deadline = time.monotonic() + self.max_wait_s
         while time.monotonic() < deadline:
             with self._lock:
-                if len(self._pending[key]) >= self.max_batch:
+                # .get: a previous leader's drain tail may have taken this
+                # leader's job and popped the key already.
+                if len(self._pending.get(key, ())) >= self.max_batch:
                     break
             time.sleep(0.0005)
         # Drain in chunks of at most max_batch: requests that slip in
@@ -216,6 +218,11 @@ class MicroBatcher:
                 queue = self._pending.get(key, [])
                 jobs = queue[:self.max_batch]
                 del queue[:self.max_batch]
+                if not queue:
+                    # Drop the drained key so a long-lived server doesn't
+                    # accumulate one empty list per request shape ever seen;
+                    # the next arrival's setdefault recreates it.
+                    self._pending.pop(key, None)
             if not jobs:
                 return
             # Pad to the next bucket by repeating the last system; slice
@@ -315,6 +322,17 @@ def make_handler(service: RolloutService,
                     if not (1 <= save_interval <= n_steps):
                         raise ValueError(
                             f"save_interval out of range: {save_interval}")
+                    # Trajectory mode buffers and JSON-serializes every
+                    # saved frame while holding the device lock; cap the
+                    # frame count so one request can't stall all traffic
+                    # with a multi-hundred-MB response (final-state-only
+                    # requests keep the full 100k n_steps range).
+                    if trajectory and n_steps // save_interval > 4000:
+                        raise ValueError(
+                            "trajectory mode is capped at 4000 saved frames "
+                            f"(n_steps/save_interval = "
+                            f"{n_steps // save_interval}); raise "
+                            "save_interval or lower n_steps")
                     out = service.simulate(
                         pos, vel, masses, n_steps, dt=dt,
                         trajectory=trajectory, save_interval=save_interval)

@@ -334,8 +334,16 @@ def run_parallel_simulations(configs: list, n_workers: int = None) -> list:
             continue
         groups.setdefault(key, []).append(idx)
 
+    from nbody_gnn_hpc_tpu.parallel.datagen import LANES_MAX_N
+
     for key, idxs in groups.items():
-        if len(idxs) < 2 or "n_steps" not in dict(key[1]):
+        # Same large-N gate as parallel/datagen.py: the lanes force kernel
+        # materializes O(N^2 * lanes) planes, so groups above LANES_MAX_N go
+        # through the sequential path, whose force kernel dispatches to the
+        # blocked/Pallas large-N kernels instead.
+        n_particles = dict(key[0]).get("n_particles", 1000)
+        if (len(idxs) < 2 or "n_steps" not in dict(key[1])
+                or n_particles > LANES_MAX_N):
             singles.extend(idxs)
             continue
         sims = [NBodySimulator(**configs[i].get("init", {})) for i in idxs]

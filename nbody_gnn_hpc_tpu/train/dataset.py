@@ -89,7 +89,9 @@ class GNNDataset:
         self.k_neighbors = k_neighbors
         self.include_mass = include_mass
 
+        trajectories = list(trajectories)  # accept generators; reused below
         lasts, targets = [], []
+        contributing = []
         for traj in trajectories:
             state = np.concatenate(
                 [np.asarray(traj["positions"]),
@@ -100,6 +102,7 @@ class GNNDataset:
             starts = np.arange(0, state.shape[0] - sequence_length, stride)
             lasts.append(state[starts + sequence_length - 1])
             targets.append(state[starts + sequence_length])
+            contributing.append(traj)
         if not lasts:
             raise ValueError("No samples could be created from trajectories")
 
@@ -107,7 +110,9 @@ class GNNDataset:
         self.targets = np.concatenate(targets)
         self.n_samples = int(self.last_states.shape[0])
         self.n_particles = int(self.last_states.shape[1])
-        m = trajectories[0].get("masses")
+        # Masses from the first trajectory that actually contributed samples
+        # (a skipped too-short first trajectory must not supply them).
+        m = contributing[0].get("masses")
         if m is not None:
             self.masses = np.asarray(m)
         else:

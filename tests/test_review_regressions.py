@@ -81,3 +81,59 @@ def test_validation_covers_tail_samples(tmp_path, rng):
     d2 = cl(tr.params, s[16:], t[16:], None, deterministic=True)[1]
     want = (float(d1["total"]) + float(d2["total"])) / 2
     np.testing.assert_allclose(loss_with_tail, want, rtol=1e-5)
+
+
+def test_from_trajectories_accepts_generator_and_skips_short_first():
+    """from_trajectories must materialize iterator inputs (it reads them
+    twice) and take masses from the first trajectory that CONTRIBUTED
+    samples, not blindly from trajectories[0] (advisor round 2)."""
+    from nbody_gnn_hpc_tpu.train import GNNDataset
+
+    r = np.random.RandomState(0)
+    short = {"positions": r.randn(3, 5, 3), "velocities": r.randn(3, 5, 3),
+             "masses": np.full(5, 123.0)}  # T=3 <= seq_len -> skipped
+    good_masses = r.uniform(1.0, 2.0, 5)
+    good = {"positions": r.randn(12, 5, 3), "velocities": r.randn(12, 5, 3),
+            "masses": good_masses}
+    ds = GNNDataset.from_trajectories(
+        (t for t in [short, good]), sequence_length=5, k_neighbors=3)
+    assert ds.n_samples > 0
+    np.testing.assert_array_equal(ds.masses, good_masses)
+
+
+def test_run_parallel_simulations_large_n_gated_off_lanes(monkeypatch):
+    """Seed-only config groups above LANES_MAX_N must NOT batch through the
+    lanes integrator (its force kernel materializes O(N^2 * lanes) planes);
+    they take the sequential path with large-N kernel dispatch (advisor
+    round 2, medium)."""
+    import nbody_gnn_hpc_tpu.sim.simulator as simulator_mod
+    from nbody_gnn_hpc_tpu.parallel.datagen import LANES_MAX_N
+    from nbody_gnn_hpc_tpu.sim.simulator import run_parallel_simulations
+
+    def boom(*a, **k):
+        raise AssertionError("lanes integrator called for large-N group")
+
+    monkeypatch.setattr(simulator_mod, "run_trajectory_batch_lanes", boom)
+    n = LANES_MAX_N + 8
+    configs = [{"init": {"n_particles": n, "box_size": 10.0, "seed": s},
+                "run": {"n_steps": 2}} for s in (1, 2)]
+    results = run_parallel_simulations(configs)
+    assert len(results) == 2
+    for states in results:
+        assert len(states) == 3  # initial + 2 saves
+        assert states[-1]["positions"].shape == (n, 3)
+
+    # and the small-N regime still batches via lanes
+    monkeypatch.undo()
+    called = {}
+    real = simulator_mod.run_trajectory_batch_lanes
+
+    def spy(*a, **k):
+        called["yes"] = True
+        return real(*a, **k)
+
+    monkeypatch.setattr(simulator_mod, "run_trajectory_batch_lanes", spy)
+    small = [{"init": {"n_particles": 8, "box_size": 10.0, "seed": s},
+              "run": {"n_steps": 2}} for s in (1, 2)]
+    assert len(run_parallel_simulations(small)) == 2
+    assert called.get("yes")

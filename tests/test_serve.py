@@ -463,3 +463,45 @@ def test_simulate_chunking_preserves_save_cadence(tmp_path):
         assert np.asarray(out2["positions"]).shape == (n, 3)
     finally:
         service.SIM_CHUNK = old
+
+
+def test_micro_batcher_drained_keys_are_dropped():
+    """A long-lived batcher must not leak one empty queue per request
+    shape: the leader pops the key once its queue drains."""
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher
+
+    stub = _StubService()
+    batcher = MicroBatcher(stub, max_batch=4, max_wait_s=0.05)
+    for steps in (1, 2, 3):
+        batcher.rollout(*_job(steps), steps)  # three distinct shape keys
+    results, errors = _fire(batcher, [_job(s) for s in range(3)])
+    assert errors == [None] * 3
+    assert batcher._pending == {}
+
+
+def test_simulate_trajectory_frame_cap(server):
+    """Trajectory-mode /simulate rejects requests that would buffer more
+    than 4000 saved frames; the same n_steps stays legal without
+    trajectory mode and with a coarser save_interval."""
+    import urllib.error
+
+    rng = np.random.RandomState(11)
+    n = 6
+    payload = {
+        "positions": rng.uniform(-3, 3, (n, 3)).tolist(),
+        "velocities": np.zeros((n, 3)).tolist(),
+        "masses": rng.uniform(1e10, 1e12, n).tolist(),
+        "n_steps": 4001,
+        "trajectory": True,
+        "save_interval": 1,
+    }
+    try:
+        post(f"{server}/simulate", payload)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "4000" in e.read().decode()
+    # coarser save cadence brings it back under the cap
+    out = post(f"{server}/simulate",
+               {**payload, "n_steps": 30, "save_interval": 10})
+    assert np.asarray(out["positions"]).shape == (4, n, 3)
