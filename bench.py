@@ -43,45 +43,44 @@ BASELINE_SIM_STEPS_PER_SEC = 12_000.0
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from nbody_gnn_hpc_tpu.parallel import make_mesh, simulate_ensemble
+    from nbody_gnn_hpc_tpu.parallel import (PlanesEnsemble, make_mesh,
+                                            simulate_ensemble)
     from nbody_gnn_hpc_tpu.sim import shared_masses
-    from nbody_gnn_hpc_tpu.sim.lanes import run_trajectory_batch_lanes
+    from nbody_gnn_hpc_tpu.sim.lanes import run_planes
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
     masses = shared_masses(N_PARTICLES, seed=42)
 
-    # Build + run once (compile + warm) via the public datagen entry point.
+    # Build + run once (compile + warm) via the public datagen entry point,
+    # on the same planes-native path generate_data.py dispatches
+    # (layout="planes": the saved trajectory stays in planes layout on
+    # device; the writer transposes host-side during its readback).
     t0 = time.time()
-    traj = simulate_ensemble(list(range(42, 42 + N_SIMS)), N_PARTICLES,
-                             N_STEPS, box_size=10.0, dt=0.001,
-                             shared_masses=masses, mesh=mesh)
-    first_pos = traj.positions
-    _ = float(first_pos[:, -1].sum())
+    res = simulate_ensemble(list(range(42, 42 + N_SIMS)), N_PARTICLES,
+                            N_STEPS, box_size=10.0, dt=0.001,
+                            shared_masses=masses, mesh=mesh,
+                            layout="planes")
+    if isinstance(res, PlanesEnsemble):
+        p, v, a = res.final
+        gm = res.gm
+        _ = float(p.sum())
+    else:  # mesh path returns a standard Trajectory
+        from nbody_gnn_hpc_tpu.sim.lanes import prepare_planes, _pad_lanes
+        fin = res.final
+        p, v, a, gm = prepare_planes(fin, _pad_lanes(N_SIMS))
+        _ = float(p.sum())
     t_first = time.time() - t0
     print(f"# first run (compile+exec): {t_first:.2f}s", file=sys.stderr)
 
     # Steady state: chain REPS runs; each reuses the previous run's final
-    # state as ICs (data dependency prevents elision/caching).
-    from nbody_gnn_hpc_tpu.sim.state import SimState
-
-    def next_state(traj):
-        return SimState(
-            positions=traj.positions[:, -1],
-            velocities=traj.velocities[:, -1],
-            accelerations=traj.accelerations[:, -1],
-            masses=traj.masses,
-            time=traj.times[:, -1],
-            step=traj.steps[:, -1],
-        )
-
-    state = next_state(traj)
+    # planes as ICs (data dependency prevents elision/caching). The saved
+    # trajectory stacks are materialized by every rep (they are program
+    # outputs), exactly as the datagen consumer receives them.
     t0 = time.time()
     for _ in range(REPS):
-        traj = run_trajectory_batch_lanes(state, 0.001, N_STEPS, 1, 1e-9)
-        state = next_state(traj)
-    _ = float(state.positions.sum())  # one readback syncs the whole chain
+        _saved, (p, v, a) = run_planes(p, v, a, gm, 0.001, N_STEPS, 1, 1e-9)
+    _ = float(p.sum())  # one readback syncs the whole chain
     elapsed = time.time() - t0
 
     sim_steps = N_SIMS * N_STEPS * REPS

@@ -1,7 +1,9 @@
 """Parallelism layer: device mesh, sharded ensemble datagen, data-parallel
 training (reference equivalent: mp.Pool fan-out, SURVEY §2.3)."""
 
-from nbody_gnn_hpc_tpu.parallel.datagen import (build_ensemble_state,
+from nbody_gnn_hpc_tpu.parallel.datagen import (PlanesEnsemble,
+                                                build_ensemble_state,
+                                                fetch_host_trajectory,
                                                 simulate_ensemble,
                                                 trajectory_slice)
 from nbody_gnn_hpc_tpu.parallel.mesh import (DATA_AXIS, batch_sharding,
@@ -12,5 +14,6 @@ from nbody_gnn_hpc_tpu.parallel.train_dp import make_dp_train_step
 __all__ = [
     "DATA_AXIS", "make_mesh", "batch_sharding", "replicated",
     "pad_to_multiple", "simulate_ensemble", "build_ensemble_state",
-    "trajectory_slice", "make_dp_train_step",
+    "trajectory_slice", "make_dp_train_step", "PlanesEnsemble",
+    "fetch_host_trajectory",
 ]

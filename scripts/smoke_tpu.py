@@ -11,11 +11,13 @@ Checks:
   1. device sanity        — a TPU backend is attached and executes
   2. force kernel         — f32 XLA kernel vs the f64 NumPy oracle (N=200)
   3. symmetric Pallas     — large-N kernel vs the plain XLA kernel (N=2048)
-  4. trajectory physics   — momentum conservation over a 50-step scan
-  5. fused edge kernel    — fused Pallas stream vs the XLA branch, seeded
+  4. blocked energy       — get_energy at N=10k in bounded memory vs a
+                            chunked f64 host oracle
+  5. trajectory physics   — momentum conservation over a 50-step scan
+  6. fused edge kernel    — fused Pallas stream vs the XLA branch, seeded
                             in-kernel dropout determinism
-  6. train step           — bf16 GNN step runs, loss finite and decreasing
-  7. rollout              — scan-compiled predictor rollout, finite output
+  7. train step           — bf16 GNN step runs, loss finite and decreasing
+  8. rollout              — scan-compiled predictor rollout, finite output
 
 Usage:
     python scripts/smoke_tpu.py            # all checks
@@ -100,6 +102,41 @@ def check_pallas():
     assert np.isfinite(a_pl).all(), "non-finite output"
     assert rel < 1e-4, f"rel err {rel:.2e}"
     return f"rel err {rel:.1e}"
+
+
+@check("blocked energy N=10k")
+def check_blocked_energy():
+    """get_energy at Barnes-Hut-regime N runs in bounded memory on-chip
+    (row-blocked PE, sim/energy.py) and agrees with the f64 oracle."""
+    import jax.numpy as jnp
+
+    from nbody_gnn_hpc_tpu.sim import total_energy
+    from nbody_gnn_hpc_tpu.sim.forces import G, SOFTENING
+
+    rng = np.random.RandomState(5)
+    n = 10_000
+    pos = rng.uniform(-50, 50, (n, 3)).astype(np.float32)
+    vel = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    m = rng.uniform(1e10, 1e12, n).astype(np.float32)
+    ke, pe, te = total_energy(jnp.asarray(pos), jnp.asarray(vel),
+                              jnp.asarray(m))
+    ke, pe, te = float(ke), float(pe), float(te)
+    # Chunked f64 host oracle (the dense (N, N, 3) oracle would need
+    # ~2.4 GB host RAM at this N).
+    p64f, m64 = pos.astype(np.float64), m.astype(np.float64)
+    s = 0.0
+    for lo in range(0, n, 1000):
+        d = p64f[lo:lo + 1000, None, :] - p64f[None, :, :]
+        inv_r = 1.0 / np.sqrt(np.einsum("ijk,ijk->ij", d, d)
+                              + SOFTENING ** 2)
+        idx = np.arange(lo, min(lo + 1000, n))
+        inv_r[np.arange(len(idx)), idx] = 0.0
+        s += float(np.einsum("i,ij,j->", m64[lo:lo + 1000], inv_r, m64))
+    p64 = -0.5 * G * s
+    rel = abs(pe - p64) / (abs(p64) + 1e-30)
+    assert np.isfinite(te), "non-finite energy"
+    assert rel < 1e-3, f"PE rel err vs f64: {rel:.2e}"
+    return f"PE rel err {rel:.1e}"
 
 
 @check("trajectory momentum")
@@ -245,6 +282,7 @@ def main():
     check_forces()
     if not args.fast:
         check_pallas()
+        check_blocked_energy()
     check_trajectory()
     if not args.fast:
         check_fused_edge()

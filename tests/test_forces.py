@@ -138,3 +138,53 @@ def test_two_body_circular_orbit():
     a_expected = G * m2 / r ** 2
     np.testing.assert_allclose(acc[0], [a_expected, 0, 0], rtol=1e-5)
     np.testing.assert_allclose(acc[1], [-a_expected, 0, 0], rtol=1e-5)
+
+
+def test_blocked_potential_energy_matches_dense():
+    """The row-blocked large-N PE (sim/energy.py) must agree with the dense
+    formulation — exercised across padding residues (N % PE_BLOCK) and with
+    solar-scale masses (overflow-safe scaling shared with the dense path)."""
+    from nbody_gnn_hpc_tpu.sim.energy import (_potential_energy_blocked,
+                                              potential_energy)
+
+    rng = np.random.RandomState(7)
+    for n in (3, 17, 200, 512, 513):
+        pos = jnp.asarray(rng.uniform(-10, 10, (n, 3)), jnp.float32)
+        m = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
+        dense = float(potential_energy(pos, m))
+        blocked = float(_potential_energy_blocked(pos, m))
+        np.testing.assert_allclose(blocked, dense, rtol=2e-6,
+                                   err_msg=f"N={n}")
+    # solar masses: no overflow in the blocked path either
+    pos = jnp.asarray([[0, 0, 0], [1.496e11, 0, 0]], jnp.float32)
+    m = jnp.asarray([1.989e30, 5.97e24], jnp.float32)
+    np.testing.assert_allclose(float(_potential_energy_blocked(pos, m)),
+                               float(potential_energy(pos, m)), rtol=1e-6)
+
+
+def test_blocked_potential_energy_batched_and_dispatch():
+    """Leading batch dims flatten+vmap correctly, and potential_energy
+    dispatches to the blocked path at BLOCKED_MIN_N (checked by jaxpr: the
+    blocked path contains a scan, the dense path does not)."""
+    import jax
+
+    from nbody_gnn_hpc_tpu.sim.energy import (BLOCKED_MIN_N,
+                                              _potential_energy_blocked,
+                                              potential_energy)
+
+    rng = np.random.RandomState(8)
+    pos = jnp.asarray(rng.uniform(-10, 10, (2, 3, 12, 3)), jnp.float32)
+    m = jnp.asarray(rng.uniform(1e10, 1e12, (2, 3, 12)), jnp.float32)
+    got = np.asarray(_potential_energy_blocked(pos, m))
+    want = np.asarray(potential_energy(pos, m))
+    assert got.shape == (2, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
+    def has_scan(n):
+        p = jnp.zeros((n, 3), jnp.float32)
+        mm = jnp.ones((n,), jnp.float32)
+        jaxpr = jax.make_jaxpr(potential_energy)(p, mm)
+        return "scan" in str(jaxpr)
+
+    assert not has_scan(64)
+    assert has_scan(BLOCKED_MIN_N)

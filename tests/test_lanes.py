@@ -151,3 +151,76 @@ def test_large_n_ensemble_uses_vmap_path():
                              shared_masses=masses, mesh=None)
     assert traj.positions.shape == (2, 3, n, 3)
     assert np.isfinite(np.asarray(traj.positions)).all()
+
+
+def test_planes_native_matches_standard_lanes():
+    """run_planes + host-side planes_to_host must reproduce the standard
+    run_trajectory_batch_lanes output: the two entry points share one
+    traced integration core; only where the layout conversion happens
+    (device vs host) differs."""
+    import jax
+
+    from nbody_gnn_hpc_tpu.sim.lanes import (planes_to_host, prepare_planes,
+                                             run_planes)
+
+    state = _batch_state(b=5, n=12, seed=4)
+    b = state.positions.shape[0]
+    ref = run_trajectory_batch_lanes(state, 1e-3, 10, 3, 1e-9)
+
+    planes_in = prepare_planes(state, _pad_lanes(b))
+    saved, fin = run_planes(*planes_in, 1e-3, 10, 3, 1e-9)
+    # saved excludes the initial state; planes_to_host prepends it host-side
+    got_pos = planes_to_host(np.asarray(jax.device_get(saved[0])), b,
+                             init=np.asarray(jax.device_get(planes_in[0])))
+    got_vel = planes_to_host(np.asarray(jax.device_get(saved[1])), b,
+                             init=np.asarray(jax.device_get(planes_in[1])))
+    got_acc = planes_to_host(np.asarray(jax.device_get(saved[2])), b,
+                             init=np.asarray(jax.device_get(planes_in[2])))
+
+    np.testing.assert_allclose(got_pos, np.asarray(ref.positions),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(got_vel, np.asarray(ref.velocities),
+                               rtol=1e-6, atol=0)
+    np.testing.assert_allclose(got_acc, np.asarray(ref.accelerations),
+                               rtol=1e-6,
+                               atol=np.abs(np.asarray(
+                                   ref.accelerations)).max() * 1e-7)
+    # final planes state chains: matches ref.final
+    fin_pos = planes_to_host(np.asarray(jax.device_get(fin[0]))[None], b)[:, 0]
+    np.testing.assert_allclose(fin_pos, np.asarray(ref.final.positions),
+                               rtol=1e-6, atol=0)
+
+
+def test_planes_ensemble_to_host_matches_standard(monkeypatch):
+    """simulate_ensemble(layout='planes').to_host() is a drop-in for the
+    standard Trajectory: same arrays, same times/steps bookkeeping, same
+    final state — the writer consumes either identically."""
+    from nbody_gnn_hpc_tpu.parallel import (PlanesEnsemble, datagen,
+                                            fetch_host_trajectory,
+                                            simulate_ensemble)
+
+    # Pin the single-device lanes path (the 8-virtual-device test env
+    # would otherwise auto-build a mesh and take the vmap path).
+    monkeypatch.setattr(datagen, "make_mesh", lambda: None)
+    masses = shared_masses(10, seed=42)
+    kw = dict(n_particles=10, n_steps=8, box_size=5.0, dt=1e-3,
+              save_interval=3, shared_masses=masses, mesh=None)
+    ref = simulate_ensemble([42, 43, 44], **kw)
+    res = simulate_ensemble([42, 43, 44], **kw, layout="planes")
+    assert isinstance(res, PlanesEnsemble)
+    got = fetch_host_trajectory(res)
+
+    for field in ("positions", "velocities", "accelerations", "masses"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, field)),
+            np.asarray(getattr(ref, field)), rtol=1e-6,
+            atol=np.abs(np.asarray(getattr(ref, field))).max() * 1e-7,
+            err_msg=field)
+    np.testing.assert_array_equal(np.asarray(got.steps),
+                                  np.asarray(ref.steps))
+    np.testing.assert_allclose(np.asarray(got.times),
+                               np.asarray(ref.times), rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.final.positions),
+                               np.asarray(ref.final.positions),
+                               rtol=1e-6, atol=0)
+    assert int(np.asarray(got.final.step)[0]) == 8
