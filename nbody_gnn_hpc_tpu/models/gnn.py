@@ -156,7 +156,7 @@ class ParticleInteractionLayer(nn.Module):
     @nn.compact
     def __call__(self, h, edge_index, edge_attr, deterministic: bool = True,
                  adj=None, deg=None):
-        n_nodes = h.shape[0]
+        n_nodes = h.shape[-2]
         if adj is None or deg is None:
             adj, deg = target_adjacency(edge_index, n_nodes, self.dtype)
         # Decomposed Dense(2H+5 -> H): target/source node projections + edge
@@ -219,11 +219,17 @@ class ParticleInteractionLayer(nn.Module):
 
     def _fused_stream(self, h, edge_attr, t_proj, s_proj, adj,
                       deterministic: bool):
-        """Edge stream via the fused Pallas kernel (ops/fused_edge.py)."""
+        """Edge stream via the fused Pallas kernel: per-graph
+        (ops/fused_edge.py) for 2-D inputs, batch-folded
+        (ops/fused_edge_batched.py) for a leading graph-batch axis — the
+        lane-folded kernel runs B graphs per grid step at full matmul
+        width instead of vmap's B small grids."""
         from nbody_gnn_hpc_tpu.ops.fused_edge import fused_edge_layer
+        from nbody_gnn_hpc_tpu.ops.fused_edge_batched import \
+            fused_edge_layer_batched
 
-        n_nodes = h.shape[0]
-        k = edge_attr.shape[0] // n_nodes
+        n_nodes = h.shape[-2]
+        k = edge_attr.shape[-2] // n_nodes
         w_e = _DenseKernel(self.hidden_dim, edge_attr.shape[-1],
                            name="edge_proj_attr")()
         gamma, beta = _LayerNormParams(self.hidden_dim, name="edge_norm")()
@@ -234,7 +240,8 @@ class ParticleInteractionLayer(nn.Module):
                 dtype=jnp.int32)
         else:
             seed = jnp.zeros((1, 1), jnp.int32)
-        return fused_edge_layer(
+        fn = fused_edge_layer_batched if h.ndim == 3 else fused_edge_layer
+        return fn(
             t_proj.astype(self.dtype), s_proj.astype(self.dtype),
             edge_attr, w_e, gamma, beta, adj.T, seed, k=k,
             dropout_p=self.dropout, deterministic=deterministic,
@@ -293,7 +300,11 @@ class NBodyGNN(nn.Module):
     @nn.compact
     def __call__(self, x, edge_index, pos=None, deterministic: bool = True):
         """Args:
-            x: (N, node_input_dim) node features [norm_pos, norm_vel, norm_mass].
+            x: (N, node_input_dim) node features [norm_pos, norm_vel,
+               norm_mass] — or (B, N, node_input_dim) for the native-batch
+               path (edge_impl "fused" only: the batch-folded Pallas kernel,
+               ops/fused_edge_batched.py; all other blocks are last-dim ops
+               that batch transparently).
             edge_index: (2, E) int32 [source row, target col].
             pos: (N, 3) positions for edge features; defaults to x[:, :3]
                  (reference model.py:153-156).
@@ -301,14 +312,18 @@ class NBodyGNN(nn.Module):
 
         Returns: (N, output_dim) predicted next state.
         """
-        current_state = x[:, :6]
+        current_state = x[..., :6]
         if pos is None:
-            pos = x[:, :3]
-        edge_attr = edge_features(pos, edge_index)  # once, shared by layers
+            pos = x[..., :3]
+        if x.ndim == 3:  # batched edge features: (B, E, 5)
+            edge_attr = jax.vmap(edge_features, in_axes=(0, None))(
+                pos, edge_index)
+        else:
+            edge_attr = edge_features(pos, edge_index)  # shared by layers
         # One-hot target adjacency + in-degree, shared by all layers (and,
         # under vmap, by the whole batch — it depends only on the static
         # edge set).
-        adj, deg = target_adjacency(edge_index, x.shape[0], self.dtype)
+        adj, deg = target_adjacency(edge_index, x.shape[-2], self.dtype)
 
         h = _MLPBlock(self.hidden_dim, self.hidden_dim, self.dropout,
                       dtype=self.dtype, name="node_encoder")(x, deterministic)
@@ -322,7 +337,12 @@ class NBodyGNN(nn.Module):
         layer_cls = (nn.remat(ParticleInteractionLayer, static_argnums=(4,))
                      if self.remat else ParticleInteractionLayer)
         edge_impl = resolve_edge_impl(self.edge_impl, self.gather_mode,
-                                      x.shape[0], edge_index)
+                                      x.shape[-2], edge_index)
+        if x.ndim == 3 and edge_impl != "fused":
+            raise ValueError(
+                "native-batch (B, N, F) inputs require the fused edge "
+                "implementation; use forward_batch (which vmaps the XLA "
+                "branches) instead")
         for i in range(self.n_layers):
             h_new = layer_cls(
                 node_features=self.hidden_dim, hidden_dim=self.hidden_dim,
@@ -372,16 +392,33 @@ def count_parameters(params) -> int:
 
 def forward_batch(model: NBodyGNN, params, x, edge_index, pos=None,
                   deterministic: bool = True, dropout_rng=None):
-    """vmap the single-graph forward over a dense (B, N, F) batch with a
-    shared static edge set — the TPU-native replacement for PyG's flattened
-    Batch collation (``train.py:182-184``)."""
+    """Batched forward over a dense (B, N, F) batch with a shared static
+    edge set — the TPU-native replacement for PyG's flattened Batch
+    collation (``train.py:182-184``).
+
+    Fused-edge models take the NATIVE batch path: one model application on
+    (B, N, F) whose edge stream is the batch-folded Pallas kernel
+    (ops/fused_edge_batched.py) — B graphs per grid step at full matmul
+    width. XLA-branch models vmap the single-graph forward (identical HLO
+    to native batching for last-dim ops). Dropout bits differ between the
+    two paths (one mask draw vs per-graph splits); semantics are identical
+    and deterministic outputs match.
+    """
+    if pos is None:
+        pos = x[..., :3]
+    if x.ndim == 3 and resolve_edge_impl(
+            model.edge_impl, model.gather_mode, x.shape[-2],
+            edge_index) == "fused":
+        rngs = ({"dropout": dropout_rng} if dropout_rng is not None
+                else None)
+        return model.apply({"params": params}, x, edge_index, pos,
+                           deterministic=deterministic, rngs=rngs)
+
     def single(xb, posb, rng):
         rngs = {"dropout": rng} if rng is not None else None
         return model.apply({"params": params}, xb, edge_index, posb,
                            deterministic=deterministic, rngs=rngs)
 
-    if pos is None:
-        pos = x[..., :3]
     if dropout_rng is not None:
         rngs = jax.random.split(dropout_rng, x.shape[0])
         return jax.vmap(single)(x, pos, rngs)

@@ -288,6 +288,149 @@ def _pairwise_sym_kernel(packed_ref, packedT_ref, out_ref, acc_ref, *,
     out_ref[:, :] = row + acc_ref[:, pl.ds(base, tile)].T
 
 
+def _pairwise_sym_mxu_kernel(packed_ref, packedT_ref, w_ref, out_ref,
+                             acc_ref, *, n_pad: int, softening: float):
+    """Symmetric kernel with MXU-offloaded reductions (round-3 experiment).
+
+    The VPU's per-pair work in ``_pairwise_sym_kernel`` is dominated by the
+    mass-weighting and the six reductions.  Both factor through the moment
+    decomposition
+
+        a_i = sum_j gm_j s_ij (x_j - x_i)
+            = (s @ W)[:, 1:4] - x_i * (s @ W)[:, 0]    with W = gm*[1,x,y,z]
+
+    so one (tile, tile) @ (tile, 8) MXU matmul replaces four weighted row
+    reductions (and its mirror ``W_i^T @ s`` replaces the column side) while
+    the VPU only builds the s-plane (~12 ops/pair instead of ~27).
+
+    Exactness: the self pair MUST be zeroed in the s-plane — in the direct
+    form it vanishes by multiplying dx = 0, but the decomposed form would
+    compute s_ii*gm_i*x_i twice with different rounding and leave an
+    eps * soft^-3-scale residual.  The wrapper also centers coordinates so
+    the x-moment cancellation error stays at the pair-separation scale.
+    """
+    soft2 = jnp.float32(softening * softening)
+    tile = TILE_SYM
+    grid_i = pl.program_id(0)
+    n_blocks = n_pad // tile
+
+    @pl.when(grid_i == 0)
+    def _init():
+        acc_ref[:, :] = jnp.zeros_like(acc_ref)
+
+    base = grid_i * tile
+    xi = packedT_ref[pl.ds(base, tile), 0:1]   # (tile, 1)
+    yi = packedT_ref[pl.ds(base, tile), 1:2]
+    zi = packedT_ref[pl.ds(base, tile), 2:3]
+    w_i = w_ref[pl.ds(base, tile), :]          # (tile, 8) gm*[1,x,y,z,0..]
+
+    def s_plane(off):
+        xj = packed_ref[0:1, pl.ds(off, tile)]  # (1, tile)
+        yj = packed_ref[1:2, pl.ds(off, tile)]
+        zj = packed_ref[2:3, pl.ds(off, tile)]
+        dx = xj - xi
+        dy = yj - yi
+        dz = zj - zi
+        d2 = dx * dx + (dy * dy + dz * dz)
+        s = jax.lax.rsqrt(d2 + soft2)
+        s = s * s * s
+        # Coincident pairs: always zeroed here (the decomposed moments do
+        # not get the dx=0 rescue the direct form has).
+        return jnp.where(d2 > 0, s, 0.0)
+
+    def moments_i(s, off):
+        m = jnp.dot(s, w_ref[pl.ds(off, tile), :],
+                    preferred_element_type=jnp.float32)     # (tile, 8)
+        return m
+
+    # Diagonal tile (self pair zeroed in-plane).
+    s = s_plane(base)
+    m = moments_i(s, base)
+    ax = m[:, 1:2] - xi * m[:, 0:1]
+    ay = m[:, 2:3] - yi * m[:, 0:1]
+    az = m[:, 3:4] - zi * m[:, 0:1]
+
+    def body(j, acc):
+        ax, ay, az = acc
+        off = j * tile
+        s = s_plane(off)
+        m = moments_i(s, off)                               # i-side moments
+        ax = ax + (m[:, 1:2] - xi * m[:, 0:1])
+        ay = ay + (m[:, 2:3] - yi * m[:, 0:1])
+        az = az + (m[:, 3:4] - zi * m[:, 0:1])
+        # j-side (reaction): mj = W_i^T @ s -> (8, tile); per column j:
+        # a_j += mj[1:4] - x_j * mj[0]
+        mj = jax.lax.dot_general(w_i, s, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        xj = packed_ref[0:1, pl.ds(off, tile)]
+        yj = packed_ref[1:2, pl.ds(off, tile)]
+        zj = packed_ref[2:3, pl.ds(off, tile)]
+        acc_ref[0:1, pl.ds(off, tile)] += mj[1:2, :] - xj * mj[0:1, :]
+        acc_ref[1:2, pl.ds(off, tile)] += mj[2:3, :] - yj * mj[0:1, :]
+        acc_ref[2:3, pl.ds(off, tile)] += mj[3:4, :] - zj * mj[0:1, :]
+        return ax, ay, az
+
+    ax, ay, az = jax.lax.fori_loop(grid_i + 1, n_blocks, body, (ax, ay, az))
+
+    row = jnp.concatenate(
+        [ax, ay, az, jnp.zeros((tile, 5), jnp.float32)], axis=1)
+    out_ref[:, :] = row + acc_ref[:, pl.ds(base, tile)].T
+
+
+@functools.partial(jax.jit, static_argnames=("softening", "interpret"))
+def pallas_accelerations_symmetric_mxu(positions: jnp.ndarray,
+                                       masses: jnp.ndarray,
+                                       softening: float = SOFTENING,
+                                       interpret: bool = False
+                                       ) -> jnp.ndarray:
+    """Symmetric kernel with MXU moment reductions (see the kernel
+    docstring).  Same contract as :func:`pallas_accelerations_symmetric`;
+    coordinates are centered first (translation-invariant physics) to keep
+    the moment-decomposition cancellation at pair-separation scale."""
+    n = positions.shape[0]
+    n_pad = _round_up(max(n, TILE_SYM), TILE_SYM)
+    positions = positions.astype(jnp.float32)
+    positions = positions - positions.mean(axis=0, keepdims=True)
+    masses = masses.astype(jnp.float32)
+
+    xyz_r = jnp.pad(positions, ((0, n_pad - n), (0, 0)))        # (n_pad, 3)
+    xyz = xyz_r.T                                               # (3, n_pad)
+    gm_r = jnp.pad(jnp.float32(G) * masses, (0, n_pad - n))     # (n_pad,)
+    packed = jnp.concatenate(
+        [xyz, gm_r[None], jnp.zeros((4, n_pad), jnp.float32)], axis=0)
+    # Moment weights W = gm * [1, x, y, z, 0, 0, 0, 0]  (n_pad, 8).
+    w = jnp.concatenate(
+        [gm_r[:, None], gm_r[:, None] * xyz_r,
+         jnp.zeros((n_pad, 4), jnp.float32)], axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_pairwise_sym_mxu_kernel, n_pad=n_pad,
+                          softening=softening),
+        out_shape=jax.ShapeDtypeStruct((n_pad, 8), jnp.float32),
+        grid=(n_pad // TILE_SYM,),
+        in_specs=[
+            pl.BlockSpec((8, n_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_pad, 8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_SYM, 8), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, n_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n_pad * n_pad + 2 * n_pad * n_pad * 8,
+            bytes_accessed=3 * 8 * n_pad * 4,
+            transcendentals=n_pad * n_pad // 2),
+    )(packed, packed.T, w)
+
+    return out[:n, :3]
+
+
 @functools.partial(jax.jit, static_argnames=("softening", "interpret"))
 def pallas_accelerations_symmetric(positions: jnp.ndarray,
                                    masses: jnp.ndarray,
