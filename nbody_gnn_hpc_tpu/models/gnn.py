@@ -391,22 +391,26 @@ def count_parameters(params) -> int:
 
 
 def forward_batch(model: NBodyGNN, params, x, edge_index, pos=None,
-                  deterministic: bool = True, dropout_rng=None):
+                  deterministic: bool = True, dropout_rng=None,
+                  native_batch: bool = False):
     """Batched forward over a dense (B, N, F) batch with a shared static
     edge set — the TPU-native replacement for PyG's flattened Batch
-    collation (``train.py:182-184``).
+    collation (``train.py:182-184``), vmapping the single-graph forward.
 
-    Fused-edge models take the NATIVE batch path: one model application on
-    (B, N, F) whose edge stream is the batch-folded Pallas kernel
-    (ops/fused_edge_batched.py) — B graphs per grid step at full matmul
-    width. XLA-branch models vmap the single-graph forward (identical HLO
-    to native batching for last-dim ops). Dropout bits differ between the
-    two paths (one mask draw vs per-graph splits); semantics are identical
-    and deterministic outputs match.
+    ``native_batch=True`` (fused-edge models only) routes through ONE
+    model application on (B, N, F) whose edge stream is the batch-folded
+    Pallas kernel (ops/fused_edge_batched.py). MEASURED NEGATIVE RESULT,
+    kept as an opt-in building block: on the v5e the b24 train step ties
+    the vmapped per-graph kernel (13.99 vs 13.95 ms) and LOSES at b96
+    (77.0 vs 48.1 ms) — the edge stream is elementwise/transcendental-
+    bound on the VPU (per-graph kernel already at ~35% MXU utilization,
+    serialized with the VPU work), so folding graphs into matmul lanes
+    buys nothing, and the wide zt materialization + scratch round-trip
+    cost grows with batch. See benchmarks/bench_edge_widths.py.
     """
     if pos is None:
         pos = x[..., :3]
-    if x.ndim == 3 and resolve_edge_impl(
+    if native_batch and x.ndim == 3 and resolve_edge_impl(
             model.edge_impl, model.gather_mode, x.shape[-2],
             edge_index) == "fused":
         rngs = ({"dropout": dropout_rng} if dropout_rng is not None

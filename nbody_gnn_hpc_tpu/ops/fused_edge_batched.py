@@ -33,19 +33,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-6  # flax.linen.LayerNorm default
 
-# Lane width budget per grid step (BC graphs x H lanes).  3072 keeps the
-# stream tiles + (N, W) accumulator inside VMEM at production shapes.
-MAX_WIDTH = 3072
+# Lane width budget per grid step (BC graphs x H lanes).  The (E_t, W)
+# f32 stream planes (several live at once through LN/SiLU/dropout) plus
+# the (N, W) accumulator must fit VMEM: 3072 measured SLOWER than the
+# per-graph kernel (25 ms vs 13.9 ms b24 step — spills), 1024 is the
+# measured sweet spot.
+MAX_WIDTH = 1024
 # Edge rows per tile (g sources x k edges); the VMEM ceiling for the
 # (E_t, W) f32 stream planes.
 MAX_TILE_E = 1024
 
 
-def _chunk_graphs(b: int, h: int) -> int:
-    """Largest divisor of b with bc * h <= MAX_WIDTH."""
+def _chunk_graphs(b: int, h: int, max_width: int = None) -> int:
+    """Largest divisor of b with bc * h <= max_width."""
+    max_width = max_width or MAX_WIDTH
     best = 1
     for bc in range(1, b + 1):
-        if b % bc == 0 and bc * h <= MAX_WIDTH:
+        if b % bc == 0 and bc * h <= max_width:
             best = bc
     return best
 
@@ -63,39 +67,35 @@ def _threshold(p: float) -> int:
     return min(int(round(p * 4294967296.0)), 4294967295)
 
 
-def _tile_zpre(c, t, tp_ref, sp_ref, ea_ref, we_ref, adjT_ref, g, k, bc, h):
-    """Recompute the pre-LN stream tile (E_t, W) f32 for grid step (c, t)."""
+def _slab_stream(b, t, zt, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,
+                 g, k, h):
+    """Per-graph (E_t, H) slab of the pre-LN stream + LN + SiLU.
+
+    Lane-dim reshapes in Mosaic are relayouts (measured: a lane-split LN
+    made the whole kernel 2x slower than per-graph), so all elementwise
+    work runs on 128-aligned lane-block SLABS of the wide tile — the same
+    well-tiled (E_t, H) shapes as the per-graph kernel — while the
+    adjacency matmuls stay wide.
+    """
     e_t = g * k
-    w = bc * h
-    adjT = adjT_ref[...]                                   # (E_t, N)
-    zt = jnp.dot(adjT, tp_ref[...],
-                 preferred_element_type=jnp.float32)        # (E_t, W)
-    sb = sp_ref[pl.ds(t * g, g), :].astype(jnp.float32)     # (g, W)
-    zsrc = jnp.repeat(sb, k, axis=0)                        # (E_t, W)
-    # Per-graph edge projection: BC small dots, concatenated along lanes.
-    ze = jnp.concatenate(
-        [jnp.dot(ea_ref[b], we_ref[...],
+    zt_b = zt[:, b * h:(b + 1) * h]                         # lane slice
+    sb = sp_ref[pl.ds(t * g, g), b * h:(b + 1) * h].astype(jnp.float32)
+    zsrc = jnp.broadcast_to(sb[:, None, :], (g, k, h)).reshape(e_t, h)
+    ze = jnp.dot(ea_ref[b], we_ref[...],
                  preferred_element_type=jnp.float32)        # (E_t, H)
-         for b in range(bc)], axis=1)                       # (E_t, W)
-    del w, e_t
-    return adjT, zt + zsrc + ze
-
-
-def _ln_silu(zpre, gammaW, betaW, bc, h):
-    """Per-(edge, graph) LayerNorm + SiLU on the lane-split view."""
-    e_t = zpre.shape[0]
-    x3 = zpre.reshape(e_t, bc, h)
-    mu = jnp.mean(x3, axis=-1, keepdims=True)
-    var = jnp.mean(x3 * x3, axis=-1, keepdims=True) - mu * mu
+    zpre = zt_b + zsrc + ze
+    mu = jnp.mean(zpre, axis=1, keepdims=True)
+    var = jnp.mean(zpre * zpre, axis=1, keepdims=True) - mu * mu
     rstd = jax.lax.rsqrt(var + EPS)
-    xhat = ((x3 - mu) * rstd).reshape(e_t, bc * h)
-    y = xhat * gammaW + betaW
+    xhat = (zpre - mu) * rstd
+    y = xhat * gw_ref[0:1, b * h:(b + 1) * h] \
+        + bw_ref[0:1, b * h:(b + 1) * h]
     sig = jax.nn.sigmoid(y)
     return y * sig, xhat, y, sig, rstd
 
 
 def _fwd_kernel(seed_ref, tp_ref, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,
-                adjT_ref, out_ref, acc, *, g, k, bc, h, n_tiles, thr,
+                adjT_ref, out_ref, acc, act_s, *, g, k, bc, h, n_tiles, thr,
                 inv_keep, training, cd):
     c = pl.program_id(0)
     t = pl.program_id(1)
@@ -104,16 +104,22 @@ def _fwd_kernel(seed_ref, tp_ref, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,
     def _():
         acc[...] = jnp.zeros_like(acc)
 
-    adjT, zpre = _tile_zpre(c, t, tp_ref, sp_ref, ea_ref, we_ref, adjT_ref,
-                            g, k, bc, h)
-    act, _, _, _, _ = _ln_silu(zpre, gw_ref[...], bw_ref[...], bc, h)
+    adjT = adjT_ref[...]                                    # (E_t, N)
+    zt = jnp.dot(adjT, tp_ref[...],
+                 preferred_element_type=jnp.float32)        # (E_t, W) wide
     if training:
         pltpu.prng_seed(seed_ref[0, 0] + c * n_tiles + t)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(act.shape), jnp.uint32)
-        act = jnp.where(bits >= jnp.uint32(thr), act * inv_keep, 0.0)
+    for b in range(bc):
+        act, _, _, _, _ = _slab_stream(b, t, zt, sp_ref, ea_ref, we_ref,
+                                       gw_ref, bw_ref, g, k, h)
+        if training:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(act.shape),
+                                 jnp.uint32)
+            act = jnp.where(bits >= jnp.uint32(thr), act * inv_keep, 0.0)
+        act_s[:, b * h:(b + 1) * h] = act.astype(act_s.dtype)
     acc[...] += jax.lax.dot_general(
-        adjT, act.astype(cd), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (N, W)
+        adjT, act_s[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (N, W) wide
 
     @pl.when(t == n_tiles - 1)
     def _():
@@ -123,7 +129,7 @@ def _fwd_kernel(seed_ref, tp_ref, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,
 def _bwd_kernel(seed_ref, tp_ref, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,
                 adjT_ref, gout_ref,
                 dtp_ref, dsp_ref, dea_ref, dwe_ref, dgw_ref, dbw_ref,
-                acc_dtp, acc_dwe, acc_dg, acc_db,
+                acc_dtp, acc_dwe, acc_dg, acc_db, dz_s,
                 *, g, k, bc, h, n_tiles, thr, inv_keep, training, cd):
     c = pl.program_id(0)
     t = pl.program_id(1)
@@ -139,41 +145,47 @@ def _bwd_kernel(seed_ref, tp_ref, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,
     def _():
         acc_dwe[...] = jnp.zeros_like(acc_dwe)
 
-    gammaW = gw_ref[...]
-    adjT, zpre = _tile_zpre(c, t, tp_ref, sp_ref, ea_ref, we_ref, adjT_ref,
-                            g, k, bc, h)
-    _, xhat, y, sig, rstd = _ln_silu(zpre, gammaW, bw_ref[...], bc, h)
-
-    d_act = jnp.dot(adjT, gout_ref[...].astype(cd),
-                    preferred_element_type=jnp.float32)     # (E_t, W)
+    adjT = adjT_ref[...]
+    zt = jnp.dot(adjT, tp_ref[...],
+                 preferred_element_type=jnp.float32)        # (E_t, W) wide
+    d_act_w = jnp.dot(adjT, gout_ref[...].astype(cd),
+                      preferred_element_type=jnp.float32)   # (E_t, W) wide
     if training:
         pltpu.prng_seed(seed_ref[0, 0] + c * n_tiles + t)
-        bits = pltpu.bitcast(pltpu.prng_random_bits(d_act.shape), jnp.uint32)
-        d_act = jnp.where(bits >= jnp.uint32(thr), d_act * inv_keep, 0.0)
-    d_y = d_act * (sig * (1.0 + y * (1.0 - sig)))
-    acc_dg[...] += jnp.sum(d_y * xhat, axis=0, keepdims=True)
-    acc_db[...] += jnp.sum(d_y, axis=0, keepdims=True)
-    d_xhat = d_y * gammaW
-    # LN backward per (edge, graph) block.
-    d3 = d_xhat.reshape(e_t, bc, h)
-    x3 = xhat.reshape(e_t, bc, h)
-    m1 = jnp.mean(d3, axis=-1, keepdims=True)
-    m2 = jnp.mean(d3 * x3, axis=-1, keepdims=True)
-    d_zpre = (rstd * (d3 - m1 - x3 * m2)).reshape(e_t, bc * h)
-
-    acc_dtp[...] += jax.lax.dot_general(
-        adjT, d_zpre.astype(cd), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                 # (N, W)
-    dsp_ref[pl.ds(t * g, g), :] = jnp.sum(
-        d_zpre.reshape(g, k, bc * h), axis=1).astype(dsp_ref.dtype)
     for b in range(bc):
-        dz_b = d_zpre[:, b * h:(b + 1) * h]
+        # IMPORTANT: random bits must be drawn in the same order as the
+        # forward pass (one draw per slab, b ascending).
+        _, xhat, y, sig, rstd = _slab_stream(b, t, zt, sp_ref, ea_ref,
+                                             we_ref, gw_ref, bw_ref,
+                                             g, k, h)
+        d_act = d_act_w[:, b * h:(b + 1) * h]
+        if training:
+            bits = pltpu.bitcast(pltpu.prng_random_bits(d_act.shape),
+                                 jnp.uint32)
+            d_act = jnp.where(bits >= jnp.uint32(thr), d_act * inv_keep,
+                              0.0)
+        d_y = d_act * (sig * (1.0 + y * (1.0 - sig)))
+        acc_dg[0:1, b * h:(b + 1) * h] += jnp.sum(d_y * xhat, axis=0,
+                                                  keepdims=True)
+        acc_db[0:1, b * h:(b + 1) * h] += jnp.sum(d_y, axis=0,
+                                                  keepdims=True)
+        d_xhat = d_y * gw_ref[0:1, b * h:(b + 1) * h]
+        m1 = jnp.mean(d_xhat, axis=1, keepdims=True)
+        m2 = jnp.mean(d_xhat * xhat, axis=1, keepdims=True)
+        d_zpre = rstd * (d_xhat - m1 - xhat * m2)           # (E_t, H)
+        dz_s[:, b * h:(b + 1) * h] = d_zpre.astype(dz_s.dtype)
+        dsp_ref[pl.ds(t * g, g), b * h:(b + 1) * h] = jnp.sum(
+            d_zpre.reshape(g, k, h), axis=1).astype(dsp_ref.dtype)
         dea_ref[b] = jax.lax.dot_general(
-            dz_b, we_ref[...], (((1,), (1,)), ((), ())),
+            d_zpre, we_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)             # (E_t, 8)
         acc_dwe[...] += jax.lax.dot_general(
-            ea_ref[b], dz_b, (((0,), (0,)), ((), ())),
+            ea_ref[b], d_zpre, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)             # (8, H)
+
+    acc_dtp[...] += jax.lax.dot_general(
+        adjT, dz_s[...], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                 # (N, W) wide
 
     @pl.when(t == n_tiles - 1)
     def _():
@@ -188,12 +200,12 @@ def _bwd_kernel(seed_ref, tp_ref, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,
 
 @functools.lru_cache(maxsize=None)
 def _build(n: int, e: int, h: int, k: int, b: int, p: float, training: bool,
-           interpret: bool, bf16_stream: bool):
+           interpret: bool, bf16_stream: bool, max_width: int):
     """Specialized custom-vjp batched fused layer for one shape/mode."""
     g = _tile_sources(n, k)
     e_t = g * k
     n_tiles = n // g
-    bc = _chunk_graphs(b, h)
+    bc = _chunk_graphs(b, h, max_width)
     n_chunks = b // bc
     w = bc * h
     thr = _threshold(p) if training else 0
@@ -225,7 +237,8 @@ def _build(n: int, e: int, h: int, k: int, b: int, p: float, training: bool,
                       spec_1w, spec_1w, spec_adjT],
             out_specs=spec_nw,
             out_shape=jax.ShapeDtypeStruct((n, b * h), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((n, w), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((n, w), jnp.float32),
+                            pltpu.VMEM((e_t, w), cd)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -255,7 +268,8 @@ def _build(n: int, e: int, h: int, k: int, b: int, p: float, training: bool,
             scratch_shapes=[pltpu.VMEM((n, w), jnp.float32),
                             pltpu.VMEM((8, h), jnp.float32),
                             pltpu.VMEM((1, w), jnp.float32),
-                            pltpu.VMEM((1, w), jnp.float32)],
+                            pltpu.VMEM((1, w), jnp.float32),
+                            pltpu.VMEM((e_t, w), cd)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("arbitrary", "arbitrary"),
                 vmem_limit_bytes=100 * 1024 * 1024),
@@ -288,7 +302,8 @@ def fused_edge_layer_batched(t_proj: jnp.ndarray, s_proj: jnp.ndarray,
                              adjT: jnp.ndarray, seed: jnp.ndarray,
                              *, k: int, dropout_p: float = 0.0,
                              deterministic: bool = True,
-                             interpret: bool = False) -> jnp.ndarray:
+                             interpret: bool = False,
+                             max_width: int = None) -> jnp.ndarray:
     """Batched fused edge stream: (B, N, H) projections -> (B, N, H) sums.
 
     Args:
@@ -330,7 +345,7 @@ def fused_edge_layer_batched(t_proj: jnp.ndarray, s_proj: jnp.ndarray,
     training = (not deterministic) and dropout_p > 0.0
     bf16_stream = t_proj.dtype == jnp.bfloat16
     fn = _build(n, e, h, k, bsz, float(dropout_p), training, bool(interpret),
-                bf16_stream)
+                bf16_stream, int(max_width or MAX_WIDTH))
     adj_dtype = (jnp.bfloat16 if (bf16_stream and not interpret)
                  else jnp.float32)
     out = fn(tpw, spw, ea8, we8, gw, bw, adjT.astype(adj_dtype),
