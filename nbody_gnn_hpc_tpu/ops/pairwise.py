@@ -290,7 +290,19 @@ def _pairwise_sym_kernel(packed_ref, packedT_ref, out_ref, acc_ref, *,
 
 def _pairwise_sym_mxu_kernel(packed_ref, packedT_ref, w_ref, out_ref,
                              acc_ref, *, n_pad: int, softening: float):
-    """Symmetric kernel with MXU-offloaded reductions (round-3 experiment).
+    """Symmetric kernel with MXU-offloaded reductions.
+
+    ROUND-3 MEASURED NEGATIVE RESULT — DO NOT dispatch to this kernel.
+    Measured on the v5e at N=10k (20-step scan harness): 0.632 ms/step
+    (158 Gpairs/s) vs the direct symmetric kernel's 0.733 ms (136) — only
+    +16%, because the kernel is rsqrt/plane-construction-bound on the VPU,
+    not reduction-bound.  And the moment decomposition is numerically
+    UNSOUND for close encounters: the per-particle error is
+    eps * |x - c| * sum(gm*s), which reaches O(1) of the particle's own
+    force when a neighbor is very close (measured max rel err 1.113 vs
+    the XLA kernel at N=10k uniform, vs 5e-7 for the direct form —
+    centering bounds |x| but not the |x|/|dx| ratio).  Kept, with its
+    tests, as documentation of the dead end (ROADMAP round-3 item).
 
     The VPU's per-pair work in ``_pairwise_sym_kernel`` is dominated by the
     mass-weighting and the six reductions.  Both factor through the moment
@@ -383,10 +395,12 @@ def pallas_accelerations_symmetric_mxu(positions: jnp.ndarray,
                                        softening: float = SOFTENING,
                                        interpret: bool = False
                                        ) -> jnp.ndarray:
-    """Symmetric kernel with MXU moment reductions (see the kernel
-    docstring).  Same contract as :func:`pallas_accelerations_symmetric`;
-    coordinates are centered first (translation-invariant physics) to keep
-    the moment-decomposition cancellation at pair-separation scale."""
+    """Symmetric kernel with MXU moment reductions — measured negative
+    result, NOT used by any dispatch (see the kernel docstring: +16% speed,
+    catastrophically wrong for close encounters).  Same contract as
+    :func:`pallas_accelerations_symmetric`; coordinates are centered first
+    (translation-invariant physics), which bounds |x| by the cloud radius
+    but cannot bound the |x|/|dx| cancellation ratio."""
     n = positions.shape[0]
     n_pad = _round_up(max(n, TILE_SYM), TILE_SYM)
     positions = positions.astype(jnp.float32)
