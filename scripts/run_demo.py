@@ -10,6 +10,13 @@ stage table executed by a tiny runner.
 Usage:
     python scripts/run_demo.py [--skip-training] [--skip-datagen]
                                [--no-clean] [--max-samples N]
+                               [--epochs N] [--no-windows]
+                               [--compression gzip|lzf|none]
+                               [--f64-ground-truth]
+
+The last four flags are additive (no reference equivalent): they select the
+measured production protocol — manifest datagen + lzf, a fixed epoch budget,
+and the published-number f64 evaluation oracle.
 """
 
 import argparse
@@ -79,26 +86,34 @@ class Stage:
 
 
 def _datagen_argv(args, cfg):
-    return ["generate_data.py",
+    argv = ["generate_data.py",
             "--particles", str(cfg.particles),
             "--simulations", str(cfg.simulations),
             "--steps", str(cfg.steps),
             "--sequence-length", str(cfg.sequence_length),
-            "--workers", str(cfg.workers)]
+            "--workers", str(cfg.workers),
+            "--compression", args.compression]
+    if args.no_windows:
+        argv += ["--no-windows"]
+    return argv
 
 
 def _train_argv(args, cfg):
-    argv = ["train_model.py", "--physics-loss", "--epochs", str(cfg.epochs)]
+    epochs = args.epochs if args.epochs is not None else cfg.epochs
+    argv = ["train_model.py", "--physics-loss", "--epochs", str(epochs)]
     if args.max_samples:
         argv += ["--max-samples", str(args.max_samples)]
     return argv
 
 
 def _evaluate_argv(args, cfg):
-    return ["evaluate.py",
+    argv = ["evaluate.py",
             "--n-test-sims", str(cfg.n_test_sims),
             "--particles", str(cfg.particles),
             "--steps", str(cfg.steps)]
+    if args.f64_ground_truth:
+        argv += ["--f64-ground-truth"]
+    return argv
 
 
 def _require_dataset(args):
@@ -173,6 +188,18 @@ def main() -> None:
                         help="Do not delete previous results")
     parser.add_argument("--max-samples", type=int, default=None,
                         help="Limit training samples (default: use all)")
+    # Additive (beyond reference parity) production-protocol knobs:
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Override training epochs (default: config)")
+    parser.add_argument("--no-windows", action="store_true",
+                        help="Datagen writes a manifest instead of windowed "
+                             "HDF5 (training reads trajectories directly)")
+    parser.add_argument("--compression", choices=("gzip", "lzf", "none"),
+                        default="gzip",
+                        help="HDF5 compression for datagen artifacts")
+    parser.add_argument("--f64-ground-truth", action="store_true",
+                        help="Evaluate against the float64 reference-protocol "
+                             "oracle (published-number protocol)")
     args = parser.parse_args()
 
     cfg = TrainingConfig()

@@ -14,12 +14,14 @@ Checks:
   4. blocked energy       — get_energy at N=10k in bounded memory vs a
                             chunked f64 host oracle
   5. trajectory physics   — momentum conservation over a 50-step scan
-  6. fused edge kernel    — fused Pallas stream vs the XLA branch, seeded
+  6. large-N datagen      — BH-regime ensemble (N=2048) through the full
+                            vmap + scan + planes-fetch composition
+  7. fused edge kernel    — fused Pallas stream vs the XLA branch, seeded
                             in-kernel dropout determinism
-  7. batched edge kernel  — batch-folded kernel vs vmapped per-graph,
+  8. batched edge kernel  — batch-folded kernel vs vmapped per-graph,
                             seeded dropout, finite training grad
-  8. train step           — bf16 GNN step runs, loss finite and decreasing
-  9. rollout              — scan-compiled predictor rollout, finite output
+  9. train step           — bf16 GNN step runs, loss finite and decreasing
+ 10. rollout              — scan-compiled predictor rollout, finite output
 
 Usage:
     python scripts/smoke_tpu.py            # all checks
@@ -299,6 +301,40 @@ def check_train_step():
     return f"loss {losses[0]:.3f} -> {losses[-1]:.3f}"
 
 
+@check("large-N datagen")
+def check_large_n_datagen():
+    """The BH-regime datagen composition (VERDICT r2 item 7): the Pallas
+    symmetric kernel must compose with vmap + the trajectory scan + the
+    planes-consumer fetch path at N above LANES_MAX_N — VMEM/HBM pressure
+    inside scan differs from the isolated-step benchmark.  Reference
+    regime: ``generate_data.py:41`` (use_barnes_hut = N > 500)."""
+    import jax.numpy as jnp
+
+    from nbody_gnn_hpc_tpu.parallel import (fetch_host_trajectory,
+                                            simulate_ensemble)
+    from nbody_gnn_hpc_tpu.sim import shared_masses
+    from nbody_gnn_hpc_tpu.sim.energy import total_momentum
+
+    n, steps = 2048, 10
+    sm = shared_masses(n)
+    obj = simulate_ensemble(seeds=[42, 43], n_particles=n, n_steps=steps,
+                            box_size=10.0, dt=0.001, save_interval=1,
+                            shared_masses=sm, layout="planes")
+    traj = fetch_host_trajectory(obj)
+    assert traj.positions.shape == (2, steps + 1, n, 3), traj.positions.shape
+    assert np.isfinite(traj.positions).all()
+    # Newton's 3rd law: total momentum conserved across the scan.
+    p0 = np.asarray(total_momentum(jnp.asarray(traj.velocities[:, 0]),
+                                   jnp.asarray(sm)[None]))
+    pT = np.asarray(total_momentum(jnp.asarray(traj.velocities[:, -1]),
+                                   jnp.asarray(sm)[None]))
+    scale = np.abs(np.asarray(sm)[None, :, None]
+                   * traj.velocities[:, 0]).sum(axis=1).max()
+    drift = np.abs(pT - p0).max() / scale
+    assert drift < 1e-5, f"momentum drift {drift:.2e}"
+    return f"N={n} B=2 x{steps} steps, momentum drift {drift:.1e}"
+
+
 @check("rollout")
 def check_rollout():
     import jax
@@ -341,6 +377,7 @@ def main():
         check_blocked_energy()
     check_trajectory()
     if not args.fast:
+        check_large_n_datagen()
         check_fused_edge()
         check_batched_edge()
     check_train_step()
