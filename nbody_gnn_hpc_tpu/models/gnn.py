@@ -111,6 +111,36 @@ class _DenseKernel(nn.Module):
                           (self.in_dim, self.features))
 
 
+class _DenseParams(nn.Module):
+    """Bare Dense kernel + bias params (names/shapes/inits match
+    ``nn.Dense``) for the fully-fused layer."""
+
+    features: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("kernel", nn.initializers.lecun_normal(),
+                           (self.in_dim, self.features)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
+class _MLPParams(nn.Module):
+    """Bare param twin of ``_MLPBlock`` (child names Dense_0 / LayerNorm_0 /
+    Dense_1 match its auto-named submodules) so fully-fused checkpoints are
+    interchangeable with the XLA branch."""
+
+    hidden: int
+    out: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (_DenseParams(self.hidden, self.in_dim, name="Dense_0")(),
+                _LayerNormParams(self.hidden, name="LayerNorm_0")(),
+                _DenseParams(self.out, self.hidden, name="Dense_1")())
+
+
 class _LayerNormParams(nn.Module):
     """Bare LayerNorm scale/bias params (names match ``nn.LayerNorm``)."""
 
@@ -159,6 +189,9 @@ class ParticleInteractionLayer(nn.Module):
         n_nodes = h.shape[-2]
         if adj is None or deg is None:
             adj, deg = target_adjacency(edge_index, n_nodes, self.dtype)
+        if self.edge_impl == "fused_full":
+            return self._fused_full_layer(h, edge_attr, deg, adj,
+                                          deterministic)
         # Decomposed Dense(2H+5 -> H): target/source node projections + edge
         # feature projection (bias lives on the target projection only).
         t_proj = nn.Dense(self.hidden_dim, dtype=self.dtype,
@@ -216,6 +249,43 @@ class ParticleInteractionLayer(nn.Module):
         return _MLPBlock(self.hidden_dim, self.node_features, self.dropout,
                          dtype=self.dtype,
                          name="node_mlp")(node_in, deterministic)
+
+    def _fused_full_layer(self, h, edge_attr, deg, adj, deterministic: bool):
+        """Whole layer as ONE Pallas kernel (ops/fused_edge_full.py):
+        projections + edge stream + aggregation + edge_out + node MLP all
+        in-kernel; per-layer HBM traffic is params + one (N, H) in/out.
+        Param tree is identical to the XLA branch (bare-param twins), so
+        checkpoints are interchangeable across edge_impl settings."""
+        from nbody_gnn_hpc_tpu.ops.fused_edge_full import fused_full_layer
+
+        n_nodes = h.shape[-2]
+        hd = self.hidden_dim
+        k = edge_attr.shape[-2] // n_nodes
+        wt, bt = _DenseParams(hd, h.shape[-1], name="edge_proj_target")()
+        ws = _DenseKernel(hd, h.shape[-1], name="edge_proj_source")()
+        we = _DenseKernel(hd, edge_attr.shape[-1], name="edge_proj_attr")()
+        ge, be = _LayerNormParams(hd, name="edge_norm")()
+        wout, bout = _DenseParams(hd, hd, name="edge_out")()
+        ((w1, b1), (g1, be1), (w2, b2)) = _MLPParams(
+            hd, self.node_features, h.shape[-1] + hd, name="node_mlp")()
+        training = (not deterministic) and self.dropout > 0
+        if training:
+            r1, r2 = jax.random.split(self.make_rng("dropout"))
+            seed = jax.random.randint(r1, (1, 1), 0, 2_147_483_647,
+                                      dtype=jnp.int32)
+            keep = 1.0 - self.dropout
+            node_mask = (jax.random.bernoulli(r2, keep, (n_nodes, hd))
+                         .astype(jnp.float32) / keep)
+        else:
+            seed = jnp.zeros((1, 1), jnp.int32)
+            node_mask = jnp.ones((n_nodes, hd), jnp.float32)
+        params = dict(wt=wt.astype(self.dtype), bt=bt, ws=ws.astype(self.dtype),
+                      we=we, ge=ge, be=be, wout=wout, bout=bout,
+                      w1=w1, b1=b1, g1=g1, be1=be1, w2=w2, b2=b2)
+        return fused_full_layer(
+            h, edge_attr, params, deg, adj.T, seed, node_mask, k=k,
+            dropout_p=self.dropout, deterministic=deterministic,
+            interpret=jax.default_backend() != "tpu")
 
     def _fused_stream(self, h, edge_attr, t_proj, s_proj, adj,
                       deterministic: bool):
@@ -292,8 +362,10 @@ class NBodyGNN(nn.Module):
     # on concrete edge sets. "take" works for arbitrary edge_index.
     gather_mode: str = "matmul"
     # Edge-stream implementation: "xla" (gather_mode above), "fused" (one
-    # Pallas kernel per layer, ops/fused_edge.py), or "auto" (fused on TPU
-    # when shapes allow, else xla). Fused cut the production train step
+    # Pallas kernel per edge stream, ops/fused_edge.py), "fused_full" (the
+    # WHOLE layer as one kernel, ops/fused_edge_full.py — measured negative
+    # result, kept opt-in; see its docstring), or "auto" (fused on TPU when
+    # shapes allow, else xla). Fused cut the production train step
     # 21.3 -> 12.7 ms on v5e (b24, dropout+noise active).
     edge_impl: str = "auto"
 

@@ -294,6 +294,11 @@ def _build(n: int, e: int, h: int, k: int, p: float, training: bool,
                 np.zeros(seed.shape, dtype=jax.dtypes.float0))
 
     fused.defvjp(fused_fwd, fused_bwd)
+    # Building blocks for the fully-fused layer (ops/fused_edge_full.py):
+    # its backward pass reuses this bwd kernel verbatim (the tile-stream
+    # math and dropout seeding are identical).
+    fused.fwd_call = fwd_call
+    fused.bwd_call = bwd_call
     return fused
 
 

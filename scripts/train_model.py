@@ -57,7 +57,7 @@ def build_parser():
     parser.add_argument("--remat", action="store_true",
                         help="Rematerialize interaction layers in backward "
                              "(lower memory, ~35%% slower)")
-    parser.add_argument("--edge-impl", choices=("auto", "xla", "fused"),
+    parser.add_argument("--edge-impl", choices=("auto", "xla", "fused", "fused_full"),
                         default="auto",
                         help="GNN edge-stream implementation: the fused "
                              "Pallas kernel (TPU), the XLA formulation, or "
