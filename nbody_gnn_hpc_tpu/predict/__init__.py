@@ -1,5 +1,9 @@
 """Inference layer (reference parity: ``src/ai/predict.py``)."""
 
 from nbody_gnn_hpc_tpu.predict.predictor import Predictor, compare_with_hpc
+from nbody_gnn_hpc_tpu.predict.quantize import (dequantize_params,
+                                                quantize_checkpoint,
+                                                quantize_params)
 
-__all__ = ["Predictor", "compare_with_hpc"]
+__all__ = ["Predictor", "compare_with_hpc", "quantize_params",
+           "dequantize_params", "quantize_checkpoint"]

@@ -38,6 +38,7 @@ class Predictor:
         self.k_neighbors = k_neighbors
         self.norm_stats = None
         self.params = params
+        self.quantization = None   # None | "bf16" | "int8" (weight-only)
         self._rollout_cache = {}
 
         if model_path:
@@ -45,14 +46,33 @@ class Predictor:
 
     def load_model(self, model_path: str) -> None:
         """Load params + normalization stats (parity: ``predict.py:40-52``;
-        norm stats are load-bearing for correctness)."""
+        norm stats are load-bearing for correctness).  Quantized serving
+        checkpoints (predict/quantize.py) are detected via their
+        ``"quantization"`` marker and dequantized inside the jitted step."""
         ckpt = load_checkpoint(model_path)
         state = ckpt.get("model_state_dict", ckpt)
-        self.params = jax.tree_util.tree_map(jnp.asarray, state)
+        self.quantization = ckpt.get("quantization")
+        # int8 trees hold a non-array marker string per kernel leaf — only
+        # asarray the array leaves.
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, state)
         if ckpt.get("norm_stats") is not None:
             self.norm_stats = ckpt["norm_stats"]
             print("Loaded normalization stats")
-        print(f"Loaded model from {model_path}")
+        tag = f" [{self.quantization} weights]" if self.quantization else ""
+        print(f"Loaded model from {model_path}{tag}")
+        self._rollout_cache.clear()
+
+    def quantize(self, mode: str) -> None:
+        """Quantize the loaded weights in place (weight-only bf16/int8;
+        predict/quantize.py) — serving memory/latency knob, no reload."""
+        from nbody_gnn_hpc_tpu.predict.quantize import quantize_params
+        if self.params is None:
+            raise ValueError("no params loaded to quantize")
+        if self.quantization:
+            raise ValueError(f"params already {self.quantization}-quantized")
+        self.params = quantize_params(self.params, mode)
+        self.quantization = mode
         self._rollout_cache.clear()
 
     # -- core jitted step -----------------------------------------------------
@@ -72,8 +92,15 @@ class Predictor:
         use_knn = k is not None and k < n_particles - 1
         static_edges = None if use_knn else jnp.asarray(
             fully_connected_edge_index(n_particles))
+        quantized = self.quantization is not None
 
         def step(params, pos, vel, mass_feat):
+            if quantized:
+                # Weight-only dequantization; loop-invariant, so XLA hoists
+                # it out of scanned rollouts (one pass per program).
+                from nbody_gnn_hpc_tpu.predict.quantize import \
+                    dequantize_params
+                params = dequantize_params(params)
             norm_pos = (pos - mean[:3]) / std[:3]
             norm_vel = (vel - mean[3:6]) / std[3:6]
             x = jnp.concatenate([norm_pos, norm_vel, mass_feat], axis=1)

@@ -32,15 +32,21 @@ import numpy as np
 class RolloutService:
     """Checkpoint-backed rollout engine with shape warmup."""
 
-    def __init__(self, model, checkpoint_path: str, k_neighbors: int = 40):
+    def __init__(self, model, checkpoint_path: str, k_neighbors: int = 40,
+                 quantize: Optional[str] = None):
         from nbody_gnn_hpc_tpu.predict import Predictor
 
         self.predictor = Predictor(model, checkpoint_path,
                                    k_neighbors=k_neighbors)
+        if quantize and not self.predictor.quantization:
+            # Weight-only serving quantization (predict/quantize.py); a
+            # checkpoint already carrying quantized weights wins.
+            self.predictor.quantize(quantize)
         self._lock = threading.Lock()  # one device; serialize dispatches
         self.model_info = {
             "hidden_dim": model.hidden_dim, "n_layers": model.n_layers,
             "k_neighbors": k_neighbors, "checkpoint": str(checkpoint_path),
+            "quantization": self.predictor.quantization,
         }
 
     def warmup(self, n_particles: int, n_steps: int,

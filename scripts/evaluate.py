@@ -39,6 +39,9 @@ def main():
     parser.add_argument("--particles", "-n", type=int, default=200)
     parser.add_argument("--steps", type=int, default=400)
     parser.add_argument("--seed", type=int, default=9999)
+    parser.add_argument("--quantize", choices=("bf16", "int8"), default=None,
+                        help="Evaluate with weight-only quantized params "
+                             "(measures the serving-quantization RMSE delta)")
     parser.add_argument("--f64-ground-truth", action="store_true",
                         help="Generate ground truth with the float64 host "
                              "oracle (the reference's precision regime, "
@@ -78,6 +81,9 @@ def main():
     # checkpoint params are float32 either way).
     model = model_from_config(model_config, dtype_override="float32")
     predictor = Predictor(model, str(model_path), k_neighbors=k_neighbors)
+    if args.quantize and not predictor.quantization:
+        print(f"  (weight-only {args.quantize} quantization)")
+        predictor.quantize(args.quantize)
 
     print(f"\nRunning {args.n_test_sims} test simulations "
           f"({args.particles} particles, {args.steps} steps)...")
@@ -192,6 +198,7 @@ def main():
         "n_steps": args.steps,
         "ground_truth": ("float64_host" if args.f64_ground_truth
                          else "float32_tpu"),
+        "quantization": predictor.quantization,
         "average_metrics": avg_metrics,
         "per_simulation_metrics": test_results,
     }

@@ -36,6 +36,9 @@ def main():
                         help="Coalesce concurrent /rollout requests into "
                              "shared device programs, up to B per batch "
                              "(power-of-two padding buckets; 0 = off)")
+    parser.add_argument("--quantize", choices=("bf16", "int8"), default=None,
+                        help="Weight-only serving quantization (smaller "
+                             "resident model; int8 ~4x kernel compression)")
     parser.add_argument("--micro-batch-wait-ms", type=float, default=5.0,
                         help="How long a micro-batch leader waits for "
                              "followers to join")
@@ -55,7 +58,8 @@ def main():
         k_neighbors = 40
 
     model = model_from_config(model_config, dtype_override="float32")
-    service = RolloutService(model, args.model_path, k_neighbors=k_neighbors)
+    service = RolloutService(model, args.model_path, k_neighbors=k_neighbors,
+                             quantize=args.quantize)
 
     batcher = MicroBatcher(service, max_batch=args.micro_batch,
                            max_wait_s=args.micro_batch_wait_ms / 1e3) \
