@@ -51,6 +51,9 @@ def main():
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="Trained .pt checkpoint (default: demo weights)")
     parser.add_argument("--k-neighbors", type=int, default=8)
+    parser.add_argument("--quantize", choices=("bf16", "int8"), default=None,
+                        help="Serve weight-only quantized params "
+                             "(predict/quantize.py)")
     args = parser.parse_args()
 
     import jax
@@ -93,7 +96,8 @@ def main():
                         model_config={})
 
     print(f"Starting service (N={n}, k={k}, backend={jax.default_backend()})")
-    service = RolloutService(model, ckpt, k_neighbors=k)
+    service = RolloutService(model, ckpt, k_neighbors=k,
+                             quantize=args.quantize)
     batcher = MicroBatcher(service, max_batch=8, max_wait_s=0.05)
     httpd = serve(service, host="127.0.0.1", port=0, batcher=batcher)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
