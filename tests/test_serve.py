@@ -505,3 +505,37 @@ def test_simulate_trajectory_frame_cap(server):
     out = post(f"{server}/simulate",
                {**payload, "n_steps": 30, "save_interval": 10})
     assert np.asarray(out["positions"]).shape == (4, n, 3)
+
+
+def test_rollout_service_quantize(tmp_path):
+    """RolloutService(quantize=...) serves weight-only-quantized params:
+    marker surfaces in model_info, rollouts track the f32 service."""
+    import jax
+
+    model = NBodyGNN(node_input_dim=7, hidden_dim=16, n_layers=2,
+                     output_dim=6, dropout=0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), N, N * K)
+    # perturb from zero-init so rollouts move and deltas are observable
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.05 * np.random.RandomState(5).randn(
+            *l.shape).astype(np.asarray(l).dtype), params)
+    ckpt = tmp_path / "m.pt"
+    save_checkpoint(ckpt, params=params, opt_state=None,
+                    scheduler_state=None, best_val_loss=0.0, history={},
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)},
+                    model_config={})
+    base = RolloutService(model, str(ckpt), k_neighbors=K)
+    quant = RolloutService(model, str(ckpt), k_neighbors=K, quantize="int8")
+    assert quant.model_info["quantization"] == "int8"
+    assert base.model_info["quantization"] is None
+
+    rng = np.random.RandomState(0)
+    pos = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    vel = 0.1 * rng.randn(N, 3).astype(np.float32)
+    m = rng.uniform(1e10, 1e12, N).astype(np.float32)
+    a = base.predictor.predict_rollout(pos, vel, m, 5)["positions"]
+    b = quant.predictor.predict_rollout(pos, vel, m, 5)["positions"]
+    rel = float(np.sqrt(np.mean((a - b) ** 2))
+                / (np.sqrt(np.mean(a ** 2)) + 1e-30))
+    assert rel < 5e-2, rel
