@@ -20,8 +20,11 @@ Checks:
                             in-kernel dropout determinism
   8. batched edge kernel  — batch-folded kernel vs vmapped per-graph,
                             seeded dropout, finite training grad
-  9. train step           — bf16 GNN step runs, loss finite and decreasing
- 10. rollout              — scan-compiled predictor rollout, finite output
+  9. fused_full layer     — whole-layer kernel vs the XLA branch (opt-in
+                            edge_impl="fused_full")
+ 10. train step           — bf16 GNN step runs, loss finite and decreasing
+ 11. rollout              — scan-compiled predictor rollout, finite output
+ 12. quantized rollout    — int8 weight-only rollout close to f32 on-chip
 
 Usage:
     python scripts/smoke_tpu.py            # all checks
@@ -266,6 +269,34 @@ def check_batched_edge():
     return f"rel err {rel:.1e}, dropout seeded, grad finite"
 
 
+@check("fused_full layer")
+def check_fused_full():
+    """Whole-layer Pallas kernel (ops/fused_edge_full.py) vs the XLA branch
+    on the real chip — same params tree, deterministic forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+    from nbody_gnn_hpc_tpu.ops.knn import knn_edge_index
+
+    n, k, h = 16, 4, 32
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(n, 7), jnp.float32)
+    pos = jnp.asarray(rng.randn(n, 3), jnp.float32)
+    edges = knn_edge_index(pos, k)
+    kw = dict(node_input_dim=7, hidden_dim=h, n_layers=2, output_dim=6,
+              dropout=0.1, remat=False, dtype=jnp.float32)
+    params = init_model(NBodyGNN(edge_impl="xla", **kw),
+                        jax.random.PRNGKey(0), n, n * k)
+    out_x = np.asarray(NBodyGNN(edge_impl="xla", **kw).apply(
+        {"params": params}, x, edges, pos, deterministic=True))
+    out_f = np.asarray(NBodyGNN(edge_impl="fused_full", **kw).apply(
+        {"params": params}, x, edges, pos, deterministic=True))
+    rel = np.abs(out_f - out_x).max() / (np.abs(out_x).max() + 1e-30)
+    assert rel < 1e-2, f"fused_full vs xla rel err {rel:.2e}"
+    return f"rel err {rel:.1e}"
+
+
 @check("train step (bf16)")
 def check_train_step():
     import jax
@@ -358,6 +389,38 @@ def check_rollout():
     return "10 steps, finite"
 
 
+@check("quantized rollout")
+def check_quantized_rollout():
+    """int8 weight-only serving quantization (predict/quantize.py) on the
+    real chip: quantized rollout must track the f32 rollout."""
+    import jax
+
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+    from nbody_gnn_hpc_tpu.predict import Predictor
+
+    rng = np.random.RandomState(2)
+    n, k = 64, 8
+    model = NBodyGNN(7, 32, 2, 6, 0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+    # perturb away from the zero-init head so the rollout moves
+    params = jax.tree_util.tree_map(
+        lambda l: l + 0.05 * np.random.RandomState(4).randn(
+            *l.shape).astype(np.asarray(l).dtype), params)
+    pred = Predictor(model, k_neighbors=k, params=params)
+    pred.norm_stats = {"state_mean": np.zeros(6, np.float32),
+                       "state_std": np.ones(6, np.float32)}
+    pos = rng.randn(n, 3).astype(np.float32)
+    vel = 0.1 * rng.randn(n, 3).astype(np.float32)
+    m = rng.uniform(1e10, 1e12, n).astype(np.float32)
+    base = pred.predict_rollout(pos, vel, m, n_steps=5)["positions"]
+    pred.quantize("int8")
+    quant = pred.predict_rollout(pos, vel, m, n_steps=5)["positions"]
+    rel = float(np.sqrt(np.mean((quant - base) ** 2))
+                / (np.sqrt(np.mean(base ** 2)) + 1e-30))
+    assert rel < 5e-2, f"int8 rollout rel-RMSE {rel:.2e}"
+    return f"int8 vs f32 rel-RMSE {rel:.1e}"
+
+
 def main():
     parser = argparse.ArgumentParser(description="Real-TPU smoke workflow")
     parser.add_argument("--fast", action="store_true",
@@ -380,8 +443,10 @@ def main():
         check_large_n_datagen()
         check_fused_edge()
         check_batched_edge()
+        check_fused_full()
     check_train_step()
     check_rollout()
+    check_quantized_rollout()
 
     n_fail = sum(1 for _, ok, _, _ in _RESULTS if not ok)
     print("=" * 60)
