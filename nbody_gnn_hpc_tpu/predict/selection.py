@@ -1,0 +1,111 @@
+"""Rollout-aware checkpoint selection (beyond-reference capability).
+
+The reference selects its served model purely on one-step validation loss
+(``train.py:519-528``), but this framework *measured* that val loss
+anticorrelates with autoregressive rollout quality (RESULTS.md "Caveats"):
+two identically-configured production runs landed at 394-step position RMSE
+121.9 and 580.7 depending solely on which epoch best-val selection hit.
+
+This module scores each saved checkpoint by what actually matters at
+serving time — short-horizon autoregressive rollout error against held-out
+validation trajectories — and picks the winner.  The whole sweep is cheap:
+every rollout is one scanned device program (`Predictor.predict_rollout_batch`)
+and the jitted program is reused across checkpoints (params are arguments,
+not constants), so K checkpoints cost one compile + K executions.
+"""
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from nbody_gnn_hpc_tpu.io import load_checkpoint
+from nbody_gnn_hpc_tpu.predict.predictor import Predictor
+
+__all__ = ["discover_checkpoints", "score_checkpoints", "select_checkpoint"]
+
+
+def discover_checkpoints(models_dir) -> List[Path]:
+    """Candidate checkpoints in a training output directory: the periodic
+    ``checkpoint_epoch_K.pt`` saves (epoch order), then ``best_model.pt``
+    and ``final_model.pt`` (the reference's selection candidates,
+    ``train.py:519-533``)."""
+    models_dir = Path(models_dir)
+    epochs = sorted(models_dir.glob("checkpoint_epoch_*.pt"),
+                    key=lambda p: int(p.stem.rsplit("_", 1)[1]))
+    named = [models_dir / n for n in ("best_model.pt", "final_model.pt")
+             if (models_dir / n).exists()]
+    return epochs + named
+
+
+def _set_params(predictor: Predictor, ckpt: Dict) -> None:
+    """Swap a checkpoint into an existing Predictor without invalidating its
+    compiled rollout cache when the normalization stats are unchanged
+    (the jitted step closes over mean/std; params are call arguments)."""
+    import jax
+    import jax.numpy as jnp
+
+    state = ckpt.get("model_state_dict", ckpt)
+    predictor.params = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, state)
+    predictor.quantization = ckpt.get("quantization")
+    stats = ckpt.get("norm_stats")
+    old = predictor.norm_stats
+    same = (stats is None and old is None) or (
+        stats is not None and old is not None
+        and np.array_equal(np.asarray(stats["state_mean"]),
+                           np.asarray(old["state_mean"]))
+        and np.array_equal(np.asarray(stats["state_std"]),
+                           np.asarray(old["state_std"])))
+    if not same:
+        predictor.norm_stats = stats
+        predictor._rollout_cache.clear()
+
+
+def score_checkpoints(model, checkpoint_paths: Sequence,
+                      val_states: np.ndarray, masses: np.ndarray,
+                      k_neighbors: Optional[int], horizon: int = 50,
+                      start_step: int = 5) -> List[Dict]:
+    """Score checkpoints by rollout RMSE on held-out trajectories.
+
+    ``val_states``: (S, T, N, 6) raw [pos, vel] ground-truth sequences
+    (``load_trajectory_tensor`` layout); each checkpoint is rolled out from
+    ``val_states[:, start_step]`` for ``horizon`` autoregressive steps in
+    one batched device program and scored against steps
+    ``start_step+1 .. start_step+horizon``.
+
+    Returns one dict per checkpoint: ``{"path", "position_rmse",
+    "velocity_rmse"}``, in input order.
+    """
+    S, T, N, _ = val_states.shape
+    if start_step + horizon + 1 > T:
+        raise ValueError(f"horizon {horizon} from step {start_step} needs "
+                         f"{start_step + horizon + 1} saved states, have {T}")
+    gt = val_states[:, start_step + 1:start_step + 1 + horizon]
+    pos0 = val_states[:, start_step, :, :3]
+    vel0 = val_states[:, start_step, :, 3:]
+
+    predictor = Predictor(model, k_neighbors=k_neighbors)
+    results = []
+    for path in checkpoint_paths:
+        _set_params(predictor, load_checkpoint(path))
+        out = predictor.predict_rollout_batch(pos0, vel0, masses, horizon)
+        ai_pos = out["positions"][:, 1:]
+        ai_vel = out["velocities"][:, 1:]
+        results.append({
+            "path": str(path),
+            "position_rmse": float(np.sqrt(np.mean(
+                (ai_pos - gt[..., :3]) ** 2))),
+            "velocity_rmse": float(np.sqrt(np.mean(
+                (ai_vel - gt[..., 3:]) ** 2))),
+        })
+    return results
+
+
+def select_checkpoint(scores: List[Dict],
+                      metric: str = "position_rmse") -> Dict:
+    """The winning entry (lowest ``metric``; NaN scores lose)."""
+    def key(s):
+        v = s[metric]
+        return (not np.isfinite(v), v)
+    return min(scores, key=key)

@@ -91,6 +91,21 @@ def test_full_pipeline(workdir):
 
 
 @pytest.mark.slow
+def test_select_checkpoint(workdir):
+    """Rollout-aware selection ranks the saved checkpoints on held-out val
+    trajectories and promotes the winner (runs after test_full_pipeline in
+    its workdir, like the other dependent stages)."""
+    out = run([str(SCRIPTS / "select_checkpoint.py"), "--horizon", "8",
+               "--n-sims", "1", "--promote"], workdir)
+    assert "selected" in out.stdout
+    with open(workdir / "models/checkpoint_selection.json") as f:
+        report = json.load(f)
+    assert report["selected"] in [s["path"] for s in report["scores"]]
+    assert len(report["scores"]) >= 2  # best_model + final_model
+    assert (workdir / "models/selected_model.pt").exists()
+
+
+@pytest.mark.slow
 def test_merge_dataset(workdir):
     """merge_dataset rebuilds train/val sets from trajectory files, with
     masses (fixing the reference's omission)."""
