@@ -48,16 +48,18 @@ def _set_params(predictor: Predictor, ckpt: Dict) -> None:
     state = ckpt.get("model_state_dict", ckpt)
     predictor.params = jax.tree_util.tree_map(
         lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, state)
-    predictor.quantization = ckpt.get("quantization")
+    quant = ckpt.get("quantization")
     stats = ckpt.get("norm_stats")
     old = predictor.norm_stats
-    same = (stats is None and old is None) or (
-        stats is not None and old is not None
-        and np.array_equal(np.asarray(stats["state_mean"]),
-                           np.asarray(old["state_mean"]))
-        and np.array_equal(np.asarray(stats["state_std"]),
-                           np.asarray(old["state_std"])))
+    same = quant == predictor.quantization and (
+        (stats is None and old is None) or (
+            stats is not None and old is not None
+            and np.array_equal(np.asarray(stats["state_mean"]),
+                               np.asarray(old["state_mean"]))
+            and np.array_equal(np.asarray(stats["state_std"]),
+                               np.asarray(old["state_std"]))))
     if not same:
+        predictor.quantization = quant
         predictor.norm_stats = stats
         predictor._rollout_cache.clear()
 

@@ -78,6 +78,26 @@ def test_different_norm_stats_rescore_cleanly(model, ckpts, val_states):
     assert all(np.isfinite(s["position_rmse"]) for s in scores)
 
 
+def test_mixed_quantized_checkpoints_rescore_cleanly(model, ckpts,
+                                                     val_states, tmp_path):
+    """An int8 serving checkpoint interleaved with f32 ones invalidates the
+    compiled cache (the jitted step specializes on the quantization mode)
+    and scores close to its f32 source."""
+    from nbody_gnn_hpc_tpu.predict import quantize_checkpoint
+
+    _, paths = ckpts
+    q = tmp_path / "best_model.int8.pt"
+    quantize_checkpoint(str(paths[1]), str(q), "int8")
+    masses = np.full(N, 1e11, np.float32)
+    scores = score_checkpoints(model, [paths[1], q, paths[0]], val_states,
+                               masses, k_neighbors=K, horizon=4,
+                               start_step=0)
+    assert all(np.isfinite(s["position_rmse"]) for s in scores)
+    # int8 tracks its f32 source, not the identity checkpoint
+    f32, int8, ident = (s["position_rmse"] for s in scores)
+    assert abs(int8 - f32) < 0.5 * abs(f32 - ident) + 1e-6
+
+
 def test_discover_orders_epochs_then_named(ckpts):
     d, _ = ckpts
     found = [p.name for p in discover_checkpoints(d)]
