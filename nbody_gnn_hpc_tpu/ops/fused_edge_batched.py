@@ -31,7 +31,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EPS = 1e-6  # flax.linen.LayerNorm default
+from nbody_gnn_hpc_tpu.ops.fused_edge import EPS, _threshold
+from nbody_gnn_hpc_tpu.ops.fused_edge import _tile_sources as _tile_sources_cap
 
 # Lane width budget per grid step (BC graphs x H lanes).  The (E_t, W)
 # f32 stream planes (several live at once through LN/SiLU/dropout) plus
@@ -55,16 +56,9 @@ def _chunk_graphs(b: int, h: int, max_width: int = None) -> int:
 
 
 def _tile_sources(n: int, k: int) -> int:
-    """Largest multiple-of-8 divisor of n with g * k <= MAX_TILE_E."""
-    best = 8
-    for g in range(8, n + 1, 8):
-        if n % g == 0 and g * k <= MAX_TILE_E:
-            best = g
-    return best
-
-
-def _threshold(p: float) -> int:
-    return min(int(round(p * 4294967296.0)), 4294967295)
+    """Largest multiple-of-8 divisor of n with g * k <= MAX_TILE_E (shared
+    helper from fused_edge, bound to this kernel's edge-row budget)."""
+    return _tile_sources_cap(n, k, cap=MAX_TILE_E)
 
 
 def _slab_stream(b, t, zt, sp_ref, ea_ref, we_ref, gw_ref, bw_ref,

@@ -91,13 +91,16 @@ class PlanesEnsemble:
         t0 = np.asarray(jax.device_get(self.state.time))
         k0 = np.asarray(jax.device_get(self.state.step))
         n_saves = self.n_steps // self.save_interval
-        ks = np.arange(0, n_saves + 1, dtype=np.int64) * self.save_interval
+        # Keep the standard path's dtypes (times f32, steps i32 — the HDF5
+        # schema is a parity surface): arange in the device step dtype and
+        # cast the float products back to the device time dtype.
+        ks = np.arange(0, n_saves + 1, dtype=k0.dtype) * self.save_interval
         fin = SimState(
             *(planes_to_host(fetch(arr[None]), b)[:, 0]
               for arr in self.final),
             masses=masses,
-            time=t0 + self.dt * self.n_steps,
-            step=k0 + self.n_steps)
+            time=np.asarray(t0 + self.dt * self.n_steps, t0.dtype),
+            step=np.asarray(k0 + self.n_steps, k0.dtype))
         return Trajectory(
             positions=planes_to_host(fetch(self.saved[0]), b,
                                      init=fetch(self.initial[0])),
@@ -106,7 +109,8 @@ class PlanesEnsemble:
             accelerations=planes_to_host(fetch(self.saved[2]), b,
                                          init=fetch(self.initial[2])),
             masses=masses,
-            times=t0[:, None] + self.dt * ks[None, :],
+            times=(t0[:, None]
+                   + (self.dt * ks[None, :]).astype(t0.dtype)),
             steps=k0[:, None] + ks[None, :],
             final=fin,
         )

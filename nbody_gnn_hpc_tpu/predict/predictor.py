@@ -52,8 +52,9 @@ class Predictor:
         ckpt = load_checkpoint(model_path)
         state = ckpt.get("model_state_dict", ckpt)
         self.quantization = ckpt.get("quantization")
-        # int8 trees hold a non-array marker string per kernel leaf — only
-        # asarray the array leaves.
+        # Tolerate non-array leaves (e.g. metadata strings in hand-edited
+        # checkpoints); int8 kernels are {"q", "scale"} dicts whose array
+        # values tree_map visits individually.
         self.params = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, state)
         if ckpt.get("norm_stats") is not None:

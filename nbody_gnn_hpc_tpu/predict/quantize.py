@@ -98,6 +98,10 @@ def quantize_checkpoint(src: str, dst: str, mode: str) -> Dict[str, Any]:
     from nbody_gnn_hpc_tpu.io.model_io import load_checkpoint, save_checkpoint
 
     ckpt = load_checkpoint(src)
+    if ckpt.get("quantization") is not None:
+        raise ValueError(
+            f"{src} is already a {ckpt['quantization']!r}-quantized serving "
+            "checkpoint; quantize the original training checkpoint instead")
     state = ckpt.get("model_state_dict", ckpt)
     save_checkpoint(
         dst,

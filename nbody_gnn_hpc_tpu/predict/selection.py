@@ -14,6 +14,7 @@ and the jitted program is reused across checkpoints (params are arguments,
 not constants), so K checkpoints cost one compile + K executions.
 """
 
+import warnings
 from pathlib import Path
 from typing import Dict, List, Optional, Sequence
 
@@ -90,7 +91,18 @@ def score_checkpoints(model, checkpoint_paths: Sequence,
     predictor = Predictor(model, k_neighbors=k_neighbors)
     results = []
     for path in checkpoint_paths:
-        _set_params(predictor, load_checkpoint(path))
+        ckpt = load_checkpoint(path)
+        if ckpt.get("norm_stats") is None:
+            # Norm stats are load-bearing for inference correctness
+            # (predict.py:42-52); scoring without them would rank a
+            # garbage-but-finite rollout.  Mark as non-selectable.
+            warnings.warn(f"{path}: no norm_stats — excluded from selection")
+            results.append({"path": str(path),
+                            "position_rmse": float("inf"),
+                            "velocity_rmse": float("inf"),
+                            "skipped": "no norm_stats"})
+            continue
+        _set_params(predictor, ckpt)
         out = predictor.predict_rollout_batch(pos0, vel0, masses, horizon)
         ai_pos = out["positions"][:, 1:]
         ai_vel = out["velocities"][:, 1:]

@@ -69,10 +69,13 @@ def _potential_energy_blocked(positions: jnp.ndarray, masses: jnp.ndarray,
     they contribute exactly zero (their inv_r is finite: r2 >= softening^2
     > 0 against every partner)."""
     if positions.ndim > 2:
-        # Batched leading dims: vmap the flat computation.
+        # Batched leading dims: vmap the flat computation.  Shared (N,)
+        # masses broadcast against batched positions like the dense path.
         lead = positions.shape[:-2]
         flat_p = positions.reshape((-1,) + positions.shape[-2:])
-        flat_m = masses.reshape((-1,) + masses.shape[-1:])
+        flat_m = jnp.broadcast_to(
+            masses, lead + masses.shape[-1:]).reshape(
+                (-1,) + masses.shape[-1:])
         out = jax.vmap(
             lambda p, m: _potential_energy_blocked(p, m, softening)
         )(flat_p, flat_m)

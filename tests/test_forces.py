@@ -180,6 +180,14 @@ def test_blocked_potential_energy_batched_and_dispatch():
     assert got.shape == (2, 3)
     np.testing.assert_allclose(got, want, rtol=2e-6)
 
+    # Shared (N,) masses broadcast against batched positions, like the
+    # dense path (review r3: previously raised in vmap flattening).
+    m1 = jnp.asarray(rng.uniform(1e10, 1e12, 12), jnp.float32)
+    got = np.asarray(_potential_energy_blocked(pos, m1))
+    want = np.asarray(potential_energy(pos, m1))
+    assert got.shape == (2, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-6)
+
     def has_scan(n):
         p = jnp.zeros((n, 3), jnp.float32)
         mm = jnp.ones((n,), jnp.float32)

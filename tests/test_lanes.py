@@ -220,6 +220,14 @@ def test_planes_ensemble_to_host_matches_standard(monkeypatch):
                                   np.asarray(ref.steps))
     np.testing.assert_allclose(np.asarray(got.times),
                                np.asarray(ref.times), rtol=1e-5, atol=1e-7)
+    # dtype parity with the standard path: the HDF5 trajectory schema is a
+    # parity surface (times f32, steps i32 — review r3 caught f64/i64 drift)
+    assert np.asarray(got.times).dtype == np.asarray(ref.times).dtype
+    assert np.asarray(got.steps).dtype == np.asarray(ref.steps).dtype
+    assert np.asarray(got.final.time).dtype == \
+        np.asarray(ref.final.time).dtype
+    assert np.asarray(got.final.step).dtype == \
+        np.asarray(ref.final.step).dtype
     np.testing.assert_allclose(np.asarray(got.final.positions),
                                np.asarray(ref.final.positions),
                                rtol=1e-6, atol=0)

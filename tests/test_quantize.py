@@ -118,6 +118,19 @@ def test_quantized_checkpoint_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(quant[0], base[0], atol=5e-2 * scale)
 
 
+def test_requantize_rejected(rng, tmp_path):
+    """Quantizing an already-quantized serving checkpoint is refused
+    (review r3: bf16->int8 would silently compound precision loss and
+    int8->bf16 would mislabel the mode)."""
+    pred = _noisy_predictor(rng)
+    src = tmp_path / "m.pt"
+    save_checkpoint(src, params=pred.params, norm_stats=pred.norm_stats)
+    dst = tmp_path / "m.bf16.pt"
+    quantize_checkpoint(str(src), str(dst), "bf16")
+    with pytest.raises(ValueError, match="already"):
+        quantize_checkpoint(str(dst), str(tmp_path / "m2.pt"), "int8")
+
+
 def test_quantize_cli(rng, tmp_path):
     model = NBodyGNN(node_input_dim=7, hidden_dim=16, n_layers=1,
                      output_dim=6)
