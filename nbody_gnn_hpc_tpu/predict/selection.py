@@ -67,7 +67,8 @@ def _set_params(predictor: Predictor, ckpt: Dict) -> None:
 
 def score_checkpoints(model, checkpoint_paths: Sequence,
                       val_states: np.ndarray, masses: np.ndarray,
-                      k_neighbors: Optional[int], horizon: int = 50,
+                      k_neighbors: Optional[int],
+                      horizon: Optional[int] = None,
                       start_step: int = 5) -> List[Dict]:
     """Score checkpoints by rollout RMSE on held-out trajectories.
 
@@ -77,11 +78,24 @@ def score_checkpoints(model, checkpoint_paths: Sequence,
     one batched device program and scored against steps
     ``start_step+1 .. start_step+horizon``.
 
+    ``horizon=None`` (default) scores at the longest horizon the
+    trajectories support (``T - start_step - 1``).  This matters: a
+    horizon-50 sweep on the round-3 production run ranked epoch 60 first
+    (4.92) and epoch 40 fourth, yet at the full 394-step protocol epoch 40
+    wins (121.6 vs 382.8) — short-horizon error does not predict full
+    -horizon ranking, because compounding dominates past the selection
+    window.  Full-horizon val scores, by contrast, track the held-out test
+    protocol to within ~3% (best_model 579.1 val vs 580.7 test; epoch 60
+    382.8 vs 370.1), so the full sweep is the honest selector and still
+    costs only ~2 min for 8 checkpoints (one compile + 8 executions).
+
     Returns one dict per checkpoint: ``{"path", "position_rmse",
     "velocity_rmse"}``, in input order.
     """
     S, T, N, _ = val_states.shape
-    if start_step + horizon + 1 > T:
+    if horizon is None:
+        horizon = T - start_step - 1
+    if horizon < 1 or start_step + horizon + 1 > T:
         raise ValueError(f"horizon {horizon} from step {start_step} needs "
                          f"{start_step + horizon + 1} saved states, have {T}")
     gt = val_states[:, start_step + 1:start_step + 1 + horizon]

@@ -45,6 +45,8 @@ CLEAN_MANIFEST = (
     ("models/best_model.pt", False),
     ("models/final_model.pt", False),
     ("models/checkpoint_epoch_*.pt", False),
+    ("models/selected_model.pt", False),
+    ("models/checkpoint_selection.json", False),
     ("models/training_history.json", False),
     ("models/config.json", False),
     ("data/checkpoints", True),
@@ -106,11 +108,21 @@ def _train_argv(args, cfg):
     return argv
 
 
+def _select_argv(args, cfg):
+    # No --horizon: the CLI defaults to the full horizon the saved val
+    # trajectories support (short-horizon scores mispredict full-horizon
+    # ranking — measured, predict/selection.py docstring), and adapts to
+    # whatever data --skip-datagen reuses.
+    return ["select_checkpoint.py", "--promote"]
+
+
 def _evaluate_argv(args, cfg):
     argv = ["evaluate.py",
             "--n-test-sims", str(cfg.n_test_sims),
             "--particles", str(cfg.particles),
             "--steps", str(cfg.steps)]
+    if args.rollout_select:
+        argv += ["-m", "./models/selected_model.pt"]
     if args.f64_ground_truth:
         argv += ["--f64-ground-truth"]
     return argv
@@ -127,6 +139,9 @@ PIPELINE = (
           precheck=_require_dataset),
     Stage("Training GNN Model", _train_argv,
           skip=lambda a: "using existing model" if a.skip_training else None),
+    Stage("Selecting Checkpoint (rollout-aware)", _select_argv,
+          skip=lambda a: None if a.rollout_select else "off by default "
+          "(parity: the reference evaluates best-val; --rollout-select)"),
     Stage("Evaluating AI vs HPC", _evaluate_argv),
     Stage("Exporting Results to CSV", lambda a, c: ["export_csv.py"]),
 )
@@ -200,6 +215,11 @@ def main() -> None:
     parser.add_argument("--f64-ground-truth", action="store_true",
                         help="Evaluate against the float64 reference-protocol "
                              "oracle (published-number protocol)")
+    parser.add_argument("--rollout-select", action="store_true",
+                        help="After training, pick the served checkpoint by "
+                             "short-horizon rollout RMSE on val trajectories "
+                             "(scripts/select_checkpoint.py) instead of "
+                             "best-val loss, and evaluate that model")
     args = parser.parse_args()
 
     cfg = TrainingConfig()

@@ -2,7 +2,7 @@
 """Rollout-aware checkpoint selection (beyond-reference capability).
 
 Scores every checkpoint a training run saved (periodic + best + final) by
-short-horizon autoregressive rollout RMSE on held-out validation
+full-horizon autoregressive rollout RMSE on held-out validation
 trajectories, prints the ranking, and optionally promotes the winner to
 ``models/selected_model.pt`` for evaluation/serving.
 
@@ -10,8 +10,10 @@ Why this exists: the reference (and our parity ``Trainer``) selects on
 one-step val loss (``train.py:519-528``), which RESULTS.md shows
 anticorrelates with rollout quality — identically-configured runs measured
 394-step position RMSE 121.9 vs 580.7 purely from which epoch best-val
-landed on.  A 50-step rollout on a few val trajectories costs seconds and
-selects on the quantity that matters.
+landed on.  Full-horizon rollouts on a few val trajectories cost ~2 min for
+8 checkpoints (one compile + 8 executions) and select on the quantity that
+matters; short horizons are NOT a safe shortcut (measured: a horizon-50
+sweep picks a checkpoint 3× worse at 394 steps — selection.py docstring).
 
 Usage:
     python scripts/select_checkpoint.py                # rank + report
@@ -42,8 +44,11 @@ def main():
     parser.add_argument("--models-dir", "-m", default="./models")
     parser.add_argument("--config-path", "-c", default="./models/config.json")
     parser.add_argument("--data-dir", "-d", default="./data")
-    parser.add_argument("--horizon", "-k", type=int, default=50,
-                        help="Rollout steps per scored checkpoint")
+    parser.add_argument("--horizon", "-k", type=int, default=None,
+                        help="Rollout steps per scored checkpoint (default: "
+                             "the longest the val trajectories support — "
+                             "measured: short horizons mispredict full"
+                             "-horizon ranking, see predict/selection.py)")
     parser.add_argument("--n-sims", type=int, default=4,
                         help="Held-out val trajectories to score against")
     parser.add_argument("--start-step", type=int, default=5,
@@ -79,16 +84,20 @@ def main():
         print(f"No trajectories found in {ckpt_dir}")
         sys.exit(1)
 
-    print(f"Scoring {len(candidates)} checkpoints: {args.horizon}-step "
-          f"rollouts on {len(val_names)} val trajectories "
-          f"({', '.join(val_names)})")
     val_states = load_trajectory_tensor(ckpt_dir, val_names)
     import h5py
     with h5py.File(ckpt_dir / f"{val_names[0]}_trajectory.h5", "r") as f:
         masses = f["masses"][:].astype(np.float32)
 
+    horizon = args.horizon
+    if horizon is None:  # full-horizon default (see selection.py docstring)
+        horizon = val_states.shape[1] - args.start_step - 1
+    print(f"Scoring {len(candidates)} checkpoints: {horizon}-step "
+          f"rollouts on {len(val_names)} val trajectories "
+          f"({', '.join(val_names)})")
+
     scores = score_checkpoints(model, candidates, val_states, masses,
-                               k_neighbors, horizon=args.horizon,
+                               k_neighbors, horizon=horizon,
                                start_step=args.start_step)
     best = select_checkpoint(scores, args.metric)
 
@@ -99,7 +108,7 @@ def main():
         print(f"{Path(s['path']).name:<28} {s['position_rmse']:>12.4g} "
               f"{s['velocity_rmse']:>14.4g}{mark}")
 
-    report = {"metric": args.metric, "horizon": args.horizon,
+    report = {"metric": args.metric, "horizon": horizon,
               "start_step": args.start_step, "val_sims": val_names,
               "scores": scores, "selected": best["path"]}
     out = Path(args.output or Path(args.models_dir)

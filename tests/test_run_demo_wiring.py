@@ -1,0 +1,86 @@
+"""Unit tests for run_demo.py's declarative stage table.
+
+The full pipeline is exercised end-to-end by test_cli.py; these pin the
+orchestrator's *wiring* — which argv each stage builds, when stages skip,
+and that the clean manifest covers every model-side artifact a stage can
+produce (the reference's cleaner at run_demo.py:45-94 has the same job).
+"""
+
+import argparse
+import importlib.util
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_run_demo():
+    spec = importlib.util.spec_from_file_location(
+        "run_demo_module", REPO / "scripts" / "run_demo.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+rd = _load_run_demo()
+
+
+def _args(**overrides):
+    defaults = dict(skip_training=False, skip_datagen=False, no_clean=False,
+                    max_samples=None, epochs=None, no_windows=False,
+                    compression="gzip", f64_ground_truth=False,
+                    rollout_select=False)
+    defaults.update(overrides)
+    return argparse.Namespace(**defaults)
+
+
+def test_pipeline_stage_order():
+    titles = [s.title for s in rd.PIPELINE]
+    assert titles == ["Generating Training Data", "Training GNN Model",
+                      "Selecting Checkpoint (rollout-aware)",
+                      "Evaluating AI vs HPC", "Exporting Results to CSV"]
+
+
+def test_selection_stage_skipped_by_default():
+    """Parity default: the reference evaluates the best-val checkpoint, so
+    the selection stage must be opt-in."""
+    stage = rd.PIPELINE[2]
+    assert stage.skip(_args()) is not None
+    assert stage.skip(_args(rollout_select=True)) is None
+
+
+def test_selection_argv_uses_full_horizon_default():
+    """run_demo must NOT cap the selection horizon: short-horizon rollout
+    scores mispredict full-horizon ranking (measured — selection.py), and
+    the CLI's default adapts to whatever data --skip-datagen reuses."""
+    cfg = rd.TrainingConfig()
+    argv = rd._select_argv(_args(rollout_select=True), cfg)
+    assert argv[0] == "select_checkpoint.py"
+    assert "--promote" in argv
+    assert "--horizon" not in argv
+
+
+def test_evaluate_argv_uses_selected_model_only_with_flag():
+    cfg = rd.TrainingConfig()
+    base = rd._evaluate_argv(_args(), cfg)
+    assert "./models/selected_model.pt" not in base
+    sel = rd._evaluate_argv(_args(rollout_select=True), cfg)
+    assert sel[sel.index("-m") + 1] == "./models/selected_model.pt"
+    f64 = rd._evaluate_argv(_args(f64_ground_truth=True), cfg)
+    assert "--f64-ground-truth" in f64
+
+
+def test_clean_manifest_covers_selection_artifacts():
+    """A fresh run must not leave a stale selected_model.pt from a previous
+    --rollout-select run (evaluate would silently score the old model)."""
+    patterns = [p for p, _ in rd.CLEAN_MANIFEST]
+    assert "models/selected_model.pt" in patterns
+    assert "models/checkpoint_selection.json" in patterns
+
+
+def test_clean_manifest_data_entries_survive_skip_datagen():
+    data_patterns = {p for p, is_data in rd.CLEAN_MANIFEST if is_data}
+    assert "data/train_dataset.h5" in data_patterns
+    assert "data/checkpoints" in data_patterns
+    # model artifacts must NOT be marked as data (they are always cleaned)
+    assert "models/best_model.pt" not in data_patterns

@@ -117,3 +117,17 @@ def test_horizon_bounds_checked(model, ckpts, val_states):
     with pytest.raises(ValueError, match="horizon"):
         score_checkpoints(model, paths, val_states, masses, k_neighbors=K,
                           horizon=50, start_step=5)
+
+
+def test_default_horizon_is_full(model, ckpts, val_states):
+    """horizon=None scores at T - start_step - 1 (the measured-honest
+    default: short horizons mispredict full-horizon ranking)."""
+    _, paths = ckpts
+    masses = np.full(N, 1e11, np.float32)
+    full = score_checkpoints(model, [paths[0]], val_states, masses,
+                             k_neighbors=K, start_step=2)
+    explicit = score_checkpoints(model, [paths[0]], val_states, masses,
+                                 k_neighbors=K,
+                                 horizon=val_states.shape[1] - 3,
+                                 start_step=2)
+    assert full[0]["position_rmse"] == explicit[0]["position_rmse"]
