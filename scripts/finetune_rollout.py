@@ -24,6 +24,17 @@ from nbody_gnn_hpc_tpu.train.rollout_tune import (finetune_rollout,
                                                   load_trajectory_tensor)
 
 
+def parse_curriculum(spec: str):
+    """'8:1500,16:900' -> [(8, 1500), (16, 900)] with validation."""
+    rungs = []
+    for part in spec.split(","):
+        horizon, _, steps = part.partition(":")
+        rungs.append((int(horizon), int(steps)))
+    if not rungs or any(h < 1 or s < 1 for h, s in rungs):
+        raise ValueError(f"bad curriculum spec: {spec!r}")
+    return rungs
+
+
 def main():
     parser = argparse.ArgumentParser(description="Rollout-aware fine-tuning")
     parser.add_argument("--model-path", "-m", default="./models/best_model.pt")
@@ -32,6 +43,11 @@ def main():
     parser.add_argument("--output", "-o", default="./models/best_rollout_model.pt")
     parser.add_argument("--horizon", "-k", type=int, default=8)
     parser.add_argument("--steps", type=int, default=1000)
+    parser.add_argument("--curriculum", default=None,
+                        help="Comma-separated K:steps rungs run in sequence "
+                             "in one process (e.g. '8:1500,16:900' — the "
+                             "measured production recipe, RESULTS.md); "
+                             "overrides --horizon/--steps")
     parser.add_argument("--batch-size", "-b", type=int, default=8)
     parser.add_argument("--learning-rate", "-lr", type=float, default=5e-5)
     parser.add_argument("--max-sims", type=int, default=None,
@@ -66,19 +82,27 @@ def main():
     masses = masses_file["masses"][:].astype(np.float32)
     masses_file.close()
 
-    print(f"Fine-tuning: horizon={args.horizon}, steps={args.steps}, "
-          f"batch={args.batch_size}, lr={args.learning_rate}")
-    best_params, history = finetune_rollout(
-        model, params, trajectories, norm_stats, masses,
-        k_neighbors=k_neighbors, horizon=args.horizon,
-        batch_size=args.batch_size, learning_rate=args.learning_rate,
-        n_steps=args.steps)
+    rungs = parse_curriculum(args.curriculum) if args.curriculum \
+        else [(args.horizon, args.steps)]
+    histories = []
+    for i, (horizon, steps) in enumerate(rungs, 1):
+        print(f"Fine-tuning rung {i}/{len(rungs)}: horizon={horizon}, "
+              f"steps={steps}, batch={args.batch_size}, "
+              f"lr={args.learning_rate}")
+        params, history = finetune_rollout(
+            model, params, trajectories, norm_stats, masses,
+            k_neighbors=k_neighbors, horizon=horizon,
+            batch_size=args.batch_size, learning_rate=args.learning_rate,
+            n_steps=steps)
+        histories.append({"horizon": horizon, "steps": steps,
+                          "history": history})
 
-    save_checkpoint(args.output, params=best_params, norm_stats=norm_stats,
-                    history=history, model_config=model_config,
-                    extra={"finetune": {"horizon": args.horizon,
-                                        "steps": args.steps,
-                                        "base": str(args.model_path)}})
+    save_checkpoint(args.output, params=params, norm_stats=norm_stats,
+                    history=histories[-1]["history"],
+                    model_config=model_config,
+                    extra={"finetune": {"curriculum": rungs,
+                                        "base": str(args.model_path),
+                                        "rungs": histories}})
     print(f"Saved {args.output}")
 
 

@@ -13,10 +13,13 @@ Usage:
                                [--epochs N] [--no-windows]
                                [--compression gzip|lzf|none]
                                [--f64-ground-truth]
+                               [--rollout-select] [--finetune-rollout]
 
-The last four flags are additive (no reference equivalent): they select the
+The last six flags are additive (no reference equivalent): they select the
 measured production protocol — manifest datagen + lzf, a fixed epoch budget,
-and the published-number f64 evaluation oracle.
+the published-number f64 evaluation oracle, and the two rollout-quality
+stages (checkpoint selection / K-step fine-tune, both measured in
+RESULTS.md to beat best-val selection by 6.2x / 16x on this protocol).
 """
 
 import argparse
@@ -47,6 +50,7 @@ CLEAN_MANIFEST = (
     ("models/checkpoint_epoch_*.pt", False),
     ("models/selected_model.pt", False),
     ("models/checkpoint_selection.json", False),
+    ("models/best_rollout_model.pt", False),
     ("models/training_history.json", False),
     ("models/config.json", False),
     ("data/checkpoints", True),
@@ -116,12 +120,26 @@ def _select_argv(args, cfg):
     return ["select_checkpoint.py", "--promote"]
 
 
+def _finetune_argv(args, cfg):
+    # The measured production recipe (RESULTS.md): two-rung curriculum from
+    # the near-identity epoch-10 checkpoint; base falls back to the script
+    # default (best_model.pt) on short runs that never saved epoch 10.
+    argv = ["finetune_rollout.py", "--curriculum", "8:1500,16:900",
+            "-o", "./models/best_rollout_model.pt"]
+    base = REPO / "models/checkpoint_epoch_10.pt"
+    if base.exists():
+        argv += ["-m", "./models/checkpoint_epoch_10.pt"]
+    return argv
+
+
 def _evaluate_argv(args, cfg):
     argv = ["evaluate.py",
             "--n-test-sims", str(cfg.n_test_sims),
             "--particles", str(cfg.particles),
             "--steps", str(cfg.steps)]
-    if args.rollout_select:
+    if args.finetune_rollout:
+        argv += ["-m", "./models/best_rollout_model.pt"]
+    elif args.rollout_select:
         argv += ["-m", "./models/selected_model.pt"]
     if args.f64_ground_truth:
         argv += ["--f64-ground-truth"]
@@ -142,6 +160,10 @@ PIPELINE = (
     Stage("Selecting Checkpoint (rollout-aware)", _select_argv,
           skip=lambda a: None if a.rollout_select else "off by default "
           "(parity: the reference evaluates best-val; --rollout-select)"),
+    Stage("Fine-tuning Rollout (K-step unrolled objective)", _finetune_argv,
+          skip=lambda a: None if a.finetune_rollout else "off by default "
+          "(parity: the reference has no rollout objective; "
+          "--finetune-rollout)"),
     Stage("Evaluating AI vs HPC", _evaluate_argv),
     Stage("Exporting Results to CSV", lambda a, c: ["export_csv.py"]),
 )
@@ -217,9 +239,16 @@ def main() -> None:
                              "oracle (published-number protocol)")
     parser.add_argument("--rollout-select", action="store_true",
                         help="After training, pick the served checkpoint by "
-                             "short-horizon rollout RMSE on val trajectories "
+                             "full-horizon rollout RMSE on val trajectories "
                              "(scripts/select_checkpoint.py) instead of "
                              "best-val loss, and evaluate that model")
+    parser.add_argument("--finetune-rollout", action="store_true",
+                        help="After training, fine-tune with the measured "
+                             "two-rung K-step unrolled curriculum "
+                             "(scripts/finetune_rollout.py; ~25 min on one "
+                             "chip) and evaluate best_rollout_model.pt — "
+                             "takes precedence over --rollout-select at "
+                             "evaluation")
     args = parser.parse_args()
 
     cfg = TrainingConfig()

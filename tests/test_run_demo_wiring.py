@@ -29,7 +29,7 @@ def _args(**overrides):
     defaults = dict(skip_training=False, skip_datagen=False, no_clean=False,
                     max_samples=None, epochs=None, no_windows=False,
                     compression="gzip", f64_ground_truth=False,
-                    rollout_select=False)
+                    rollout_select=False, finetune_rollout=False)
     defaults.update(overrides)
     return argparse.Namespace(**defaults)
 
@@ -38,6 +38,7 @@ def test_pipeline_stage_order():
     titles = [s.title for s in rd.PIPELINE]
     assert titles == ["Generating Training Data", "Training GNN Model",
                       "Selecting Checkpoint (rollout-aware)",
+                      "Fine-tuning Rollout (K-step unrolled objective)",
                       "Evaluating AI vs HPC", "Exporting Results to CSV"]
 
 
@@ -47,6 +48,34 @@ def test_selection_stage_skipped_by_default():
     stage = rd.PIPELINE[2]
     assert stage.skip(_args()) is not None
     assert stage.skip(_args(rollout_select=True)) is None
+
+
+def test_finetune_stage_skipped_by_default():
+    stage = rd.PIPELINE[3]
+    assert stage.skip(_args()) is not None
+    assert stage.skip(_args(finetune_rollout=True)) is None
+
+
+def test_finetune_argv_uses_measured_curriculum():
+    cfg = rd.TrainingConfig()
+    argv = rd._finetune_argv(_args(finetune_rollout=True), cfg)
+    assert argv[0] == "finetune_rollout.py"
+    assert argv[argv.index("--curriculum") + 1] == "8:1500,16:900"
+    assert argv[argv.index("-o") + 1] == "./models/best_rollout_model.pt"
+
+
+def test_parse_curriculum():
+    spec = importlib.util.spec_from_file_location(
+        "finetune_rollout_module", REPO / "scripts" / "finetune_rollout.py")
+    ft = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ft)
+    assert ft.parse_curriculum("8:1500,16:900") == [(8, 1500), (16, 900)]
+    assert ft.parse_curriculum("4:10") == [(4, 10)]
+    import pytest
+    with pytest.raises(ValueError):
+        ft.parse_curriculum("8:0")
+    with pytest.raises(ValueError):
+        ft.parse_curriculum("8")
 
 
 def test_selection_argv_uses_full_horizon_default():
@@ -68,6 +97,10 @@ def test_evaluate_argv_uses_selected_model_only_with_flag():
     assert sel[sel.index("-m") + 1] == "./models/selected_model.pt"
     f64 = rd._evaluate_argv(_args(f64_ground_truth=True), cfg)
     assert "--f64-ground-truth" in f64
+    # fine-tune output takes precedence over the selected checkpoint
+    both = rd._evaluate_argv(_args(rollout_select=True,
+                                   finetune_rollout=True), cfg)
+    assert both[both.index("-m") + 1] == "./models/best_rollout_model.pt"
 
 
 def test_clean_manifest_covers_selection_artifacts():
@@ -76,6 +109,7 @@ def test_clean_manifest_covers_selection_artifacts():
     patterns = [p for p, _ in rd.CLEAN_MANIFEST]
     assert "models/selected_model.pt" in patterns
     assert "models/checkpoint_selection.json" in patterns
+    assert "models/best_rollout_model.pt" in patterns
 
 
 def test_clean_manifest_data_entries_survive_skip_datagen():
