@@ -26,12 +26,15 @@ from nbody_gnn_hpc_tpu.train.rollout_tune import (finetune_rollout,
 
 def parse_curriculum(spec: str):
     """'8:1500,16:900' -> [(8, 1500), (16, 900)] with validation."""
-    rungs = []
-    for part in spec.split(","):
-        horizon, _, steps = part.partition(":")
-        rungs.append((int(horizon), int(steps)))
-    if not rungs or any(h < 1 or s < 1 for h, s in rungs):
-        raise ValueError(f"bad curriculum spec: {spec!r}")
+    try:
+        rungs = [(int(h), int(s)) for h, _, s in
+                 (part.partition(":") for part in spec.split(","))]
+    except ValueError:
+        raise ValueError(f"bad curriculum spec: {spec!r} "
+                         "(expected 'K:steps[,K:steps...]')") from None
+    if any(h < 1 or s < 1 for h, s in rungs):
+        raise ValueError(f"bad curriculum spec: {spec!r} "
+                         "(horizons and steps must be >= 1)")
     return rungs
 
 
@@ -75,6 +78,11 @@ def main():
     names = names[:int(0.8 * len(names))]
     if args.max_sims:
         names = names[:args.max_sims]
+    if not names:
+        print(f"No trajectories found in {ckpt_dir} — the unrolled "
+              "objective needs raw trajectory files (run generate_data.py, "
+              "windowed datasets alone are not enough)")
+        sys.exit(1)
     print(f"Loading {len(names)} trajectories...")
     trajectories = load_trajectory_tensor(ckpt_dir, names)
     masses_file = __import__("h5py").File(

@@ -122,12 +122,15 @@ def _select_argv(args, cfg):
 
 def _finetune_argv(args, cfg):
     # The measured production recipe (RESULTS.md): two-rung curriculum from
-    # the near-identity epoch-10 checkpoint; base falls back to the script
-    # default (best_model.pt) on short runs that never saved epoch 10.
+    # the near-identity epoch-10 checkpoint. With --rollout-select the
+    # selection winner is the base instead (so both stages compose); the
+    # fallback is the script default (best_model.pt) on short runs that
+    # never saved epoch 10.
     argv = ["finetune_rollout.py", "--curriculum", "8:1500,16:900",
             "-o", "./models/best_rollout_model.pt"]
-    base = REPO / "models/checkpoint_epoch_10.pt"
-    if base.exists():
+    if args.rollout_select:
+        argv += ["-m", "./models/selected_model.pt"]
+    elif (REPO / "models/checkpoint_epoch_10.pt").exists():
         argv += ["-m", "./models/checkpoint_epoch_10.pt"]
     return argv
 

@@ -92,6 +92,10 @@ def main():
     horizon = args.horizon
     if horizon is None:  # full-horizon default (see selection.py docstring)
         horizon = val_states.shape[1] - args.start_step - 1
+    if horizon < 1:
+        print(f"Val trajectories save only {val_states.shape[1]} states — "
+              f"no rollout horizon left after --start-step {args.start_step}")
+        sys.exit(1)
     print(f"Scoring {len(candidates)} checkpoints: {horizon}-step "
           f"rollouts on {len(val_names)} val trajectories "
           f"({', '.join(val_names)})")

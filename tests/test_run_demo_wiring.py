@@ -64,6 +64,15 @@ def test_finetune_argv_uses_measured_curriculum():
     assert argv[argv.index("-o") + 1] == "./models/best_rollout_model.pt"
 
 
+def test_finetune_composes_with_selection():
+    """With both flags the selection winner is the fine-tune base —
+    otherwise the ~2-min selection sweep would be wasted wall-clock."""
+    cfg = rd.TrainingConfig()
+    argv = rd._finetune_argv(_args(finetune_rollout=True,
+                                   rollout_select=True), cfg)
+    assert argv[argv.index("-m") + 1] == "./models/selected_model.pt"
+
+
 def test_parse_curriculum():
     spec = importlib.util.spec_from_file_location(
         "finetune_rollout_module", REPO / "scripts" / "finetune_rollout.py")
