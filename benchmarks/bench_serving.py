@@ -1,0 +1,181 @@
+#!/usr/bin/env python3
+"""Serving benchmark: concurrent-client latency/throughput for the rollout
+HTTP service (nbody_gnn_hpc_tpu/serve.py).
+
+The reference has no serving story (its inference path round-trips the host
+twice per step — predict.py:142-147); this measures ours the way a
+production client sees it: C concurrent clients fire R sequential
+``POST /rollout`` requests each against the real ThreadingHTTPServer, and
+we report per-request latency percentiles and aggregate throughput.
+
+Compared configurations (same checkpoint, same load):
+  - sequential device lock (no micro-batching)
+  - micro-batched (concurrent requests coalesced into one vmapped scan)
+  - optionally int8 weight-only quantized serving (--quantize int8)
+
+Usage (real TPU; compile warmup included, excluded from timing):
+    python benchmarks/bench_serving.py                      # f32, both modes
+    python benchmarks/bench_serving.py --quantize int8      # + int8 column
+    python benchmarks/bench_serving.py --clients 16 --requests 4
+
+Note on latency on this host: every request pays the axon tunnel's ~30 ms
+device->host readback, which bounds single-request latency regardless of
+model speed; throughput under concurrency (the micro-batcher's job) is the
+signal that transfers to a real TPU host.
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def _post(url: str, payload: dict, timeout: float = 600.0) -> dict:
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        return json.loads(resp.read())
+
+
+def run_load(base_url: str, n_particles: int, n_steps: int,
+             clients: int, requests_per_client: int, seed: int = 0) -> dict:
+    """Fire ``clients`` threads x ``requests_per_client`` sequential
+    ``/rollout`` requests; return latency percentiles + throughput."""
+    rng = np.random.RandomState(seed)
+    payloads = []
+    for _ in range(clients):
+        payloads.append({
+            "positions": rng.randn(n_particles, 3).tolist(),
+            "velocities": rng.randn(n_particles, 3).tolist(),
+            "masses": rng.uniform(1e10, 1e12, n_particles).tolist(),
+            "n_steps": n_steps,
+        })
+
+    latencies = [[] for _ in range(clients)]
+    errors = []
+    barrier = threading.Barrier(clients + 1)
+
+    def client(i):
+        barrier.wait()
+        for _ in range(requests_per_client):
+            t0 = time.perf_counter()
+            try:
+                out = _post(f"{base_url}/rollout", payloads[i])
+                assert len(out["positions"]) == n_steps + 1
+            except Exception as e:  # pragma: no cover - surfaced below
+                errors.append(repr(e))
+                return
+            latencies[i].append(time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=client, args=(i,))
+               for i in range(clients)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+
+    if errors:
+        raise RuntimeError(f"{len(errors)} request(s) failed: {errors[0]}")
+    lat = np.sort(np.concatenate([np.asarray(l) for l in latencies]))
+    total = clients * requests_per_client
+    return {
+        "requests": total,
+        "wall_s": round(wall, 3),
+        "requests_per_s": round(total / wall, 2),
+        "rollout_steps_per_s": round(total * n_steps / wall, 1),
+        "latency_ms": {
+            "mean": round(1e3 * float(lat.mean()), 1),
+            "p50": round(1e3 * float(np.percentile(lat, 50)), 1),
+            "p95": round(1e3 * float(np.percentile(lat, 95)), 1),
+            "p99": round(1e3 * float(np.percentile(lat, 99)), 1),
+        },
+    }
+
+
+def start_server(model_path: str, config_path: str, micro_batch: int,
+                 quantize, n_particles: int, n_steps: int):
+    """In-process server on an ephemeral port, fully warmed (compiles paid
+    here, not in the timed load)."""
+    from nbody_gnn_hpc_tpu.models import model_from_config
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher, RolloutService, serve
+
+    cfg = json.loads(Path(config_path).read_text())
+    model = model_from_config(cfg["model_config"], dtype_override="float32")
+    k = cfg.get("training_config", {}).get("k_neighbors", 40)
+    service = RolloutService(model, model_path, k_neighbors=k,
+                             quantize=quantize)
+    batcher = (MicroBatcher(service, max_batch=micro_batch)
+               if micro_batch > 0 else None)
+    service.warmup(n_particles, n_steps)
+    if batcher is not None:
+        batcher.warmup(n_particles, n_steps)
+    httpd = serve(service, host="127.0.0.1", port=0, batcher=batcher)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Serving benchmark")
+    parser.add_argument("--model-path", "-m",
+                        default="./models/best_rollout_model.pt")
+    parser.add_argument("--config-path", "-c",
+                        default="./models/config.json")
+    parser.add_argument("--particles", "-n", type=int, default=200)
+    parser.add_argument("--steps", type=int, default=100,
+                        help="Rollout steps per request")
+    parser.add_argument("--clients", type=int, default=8)
+    parser.add_argument("--requests", type=int, default=4,
+                        help="Sequential requests per client")
+    parser.add_argument("--micro-batch", type=int, default=8)
+    parser.add_argument("--quantize", choices=("bf16", "int8"), default=None,
+                        help="Also measure a quantized-serving column")
+    parser.add_argument("--json", action="store_true",
+                        help="Print one JSON line instead of the table")
+    args = parser.parse_args()
+
+    configs = [("sequential", 0, None),
+               (f"micro-batch {args.micro_batch}", args.micro_batch, None)]
+    if args.quantize:
+        configs.append((f"micro-batch {args.micro_batch} + {args.quantize}",
+                        args.micro_batch, args.quantize))
+
+    results = {}
+    for name, mb, quant in configs:
+        httpd, url = start_server(args.model_path, args.config_path, mb,
+                                  quant, args.particles, args.steps)
+        # One untimed round so every thread's HTTP path is exercised.
+        run_load(url, args.particles, args.steps, args.clients, 1)
+        results[name] = run_load(url, args.particles, args.steps,
+                                 args.clients, args.requests)
+        httpd.shutdown()
+
+    summary = {"n_particles": args.particles, "n_steps": args.steps,
+               "clients": args.clients,
+               "requests_per_client": args.requests, "results": results}
+    if args.json:
+        print(json.dumps(summary))
+        return
+    print(f"\n/rollout load: {args.clients} clients x {args.requests} "
+          f"requests, N={args.particles}, {args.steps} steps/request\n")
+    print(f"{'config':<28} {'req/s':>7} {'steps/s':>9} {'p50 ms':>8} "
+          f"{'p95 ms':>8} {'p99 ms':>8}")
+    print("-" * 72)
+    for name, r in results.items():
+        print(f"{name:<28} {r['requests_per_s']:>7} "
+              f"{r['rollout_steps_per_s']:>9} {r['latency_ms']['p50']:>8} "
+              f"{r['latency_ms']['p95']:>8} {r['latency_ms']['p99']:>8}")
+
+
+if __name__ == "__main__":
+    main()
