@@ -87,7 +87,8 @@ def score_checkpoints(model, checkpoint_paths: Sequence,
     window.  Full-horizon val scores, by contrast, track the held-out test
     protocol to within ~3% (best_model 579.1 val vs 580.7 test; epoch 60
     382.8 vs 370.1), so the full sweep is the honest selector and still
-    costs only ~2 min for 8 checkpoints (one compile + 8 executions).
+    costs a few minutes for 8 checkpoints (one compile + 8 executions;
+    352.6 s measured in-pipeline on the tunnel host).
 
     Returns one dict per checkpoint: ``{"path", "position_rmse",
     "velocity_rmse"}``, in input order.

@@ -10,7 +10,7 @@ Why this exists: the reference (and our parity ``Trainer``) selects on
 one-step val loss (``train.py:519-528``), which RESULTS.md shows
 anticorrelates with rollout quality — identically-configured runs measured
 394-step position RMSE 121.9 vs 580.7 purely from which epoch best-val
-landed on.  Full-horizon rollouts on a few val trajectories cost ~2 min for
+landed on.  Full-horizon rollouts on a few val trajectories cost minutes for
 8 checkpoints (one compile + 8 executions) and select on the quantity that
 matters; short horizons are NOT a safe shortcut (measured: a horizon-50
 sweep picks a checkpoint 3× worse at 394 steps — selection.py docstring).
