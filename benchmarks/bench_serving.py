@@ -9,8 +9,11 @@ production client sees it: C concurrent clients fire R sequential
 we report per-request latency percentiles and aggregate throughput.
 
 Compared configurations (same checkpoint, same load):
-  - sequential device lock (no micro-batching)
-  - micro-batched (concurrent requests coalesced into one vmapped scan)
+  - sequential device lock (no micro-batching), full-trajectory JSON
+  - micro-batched (concurrent requests coalesced into one vmapped scan),
+    with the three response modes: full-trajectory JSON (measured to be
+    serialization-bound at 394 steps — ~10 MB of float text per request),
+    full-trajectory npz (binary f32), and final-state-only JSON
   - optionally int8 weight-only quantized serving (--quantize int8)
 
 Usage (real TPU; compile warmup included, excluded from timing):
@@ -37,16 +40,21 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
-def _post(url: str, payload: dict, timeout: float = 600.0) -> dict:
+def _post(url: str, payload: dict, timeout: float = 600.0):
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(),
         headers={"Content-Type": "application/json"})
     with urllib.request.urlopen(req, timeout=timeout) as resp:
-        return json.loads(resp.read())
+        body = resp.read()
+        if resp.headers.get("Content-Type") == "application/octet-stream":
+            import io
+            return dict(np.load(io.BytesIO(body)))
+        return json.loads(body)
 
 
 def run_load(base_url: str, n_particles: int, n_steps: int,
-             clients: int, requests_per_client: int, seed: int = 0) -> dict:
+             clients: int, requests_per_client: int, seed: int = 0,
+             trajectory: bool = True, fmt: str = "json") -> dict:
     """Fire ``clients`` threads x ``requests_per_client`` sequential
     ``/rollout`` requests; return latency percentiles + throughput."""
     rng = np.random.RandomState(seed)
@@ -57,7 +65,10 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
             "velocities": rng.randn(n_particles, 3).tolist(),
             "masses": rng.uniform(1e10, 1e12, n_particles).tolist(),
             "n_steps": n_steps,
+            "trajectory": trajectory,
+            "format": fmt,
         })
+    want_frames = n_steps + 1 if trajectory else n_particles
 
     latencies = [[] for _ in range(clients)]
     errors = []
@@ -69,7 +80,7 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
             t0 = time.perf_counter()
             try:
                 out = _post(f"{base_url}/rollout", payloads[i])
-                assert len(out["positions"]) == n_steps + 1
+                assert len(out["positions"]) == want_frames
             except Exception as e:  # pragma: no cover - surfaced below
                 errors.append(repr(e))
                 return
@@ -144,20 +155,34 @@ def main():
                         help="Print one JSON line instead of the table")
     args = parser.parse_args()
 
-    configs = [("sequential", 0, None),
-               (f"micro-batch {args.micro_batch}", args.micro_batch, None)]
+    # (name, micro_batch, quantize, trajectory, fmt): the response modes
+    # matter as much as the device config — full-trajectory JSON is ~10 MB
+    # of float text per request and measured to dominate latency.
+    mb = args.micro_batch
+    configs = [("sequential, traj json", 0, None, True, "json"),
+               (f"micro-batch {mb}, traj json", mb, None, True, "json"),
+               (f"micro-batch {mb}, traj npz", mb, None, True, "npz"),
+               (f"micro-batch {mb}, final-only", mb, None, False, "json")]
     if args.quantize:
-        configs.append((f"micro-batch {args.micro_batch} + {args.quantize}",
-                        args.micro_batch, args.quantize))
+        configs.append((f"micro-batch {mb} {args.quantize}, final-only",
+                        mb, args.quantize, False, "json"))
 
     results = {}
-    for name, mb, quant in configs:
-        httpd, url = start_server(args.model_path, args.config_path, mb,
-                                  quant, args.particles, args.steps)
+    server_cache = {}
+    for name, mbatch, quant, traj, fmt in configs:
+        key = (mbatch, quant)
+        if key not in server_cache:
+            server_cache[key] = start_server(
+                args.model_path, args.config_path, mbatch, quant,
+                args.particles, args.steps)
+        _, url = server_cache[key]
         # One untimed round so every thread's HTTP path is exercised.
-        run_load(url, args.particles, args.steps, args.clients, 1)
+        run_load(url, args.particles, args.steps, args.clients, 1,
+                 trajectory=traj, fmt=fmt)
         results[name] = run_load(url, args.particles, args.steps,
-                                 args.clients, args.requests)
+                                 args.clients, args.requests,
+                                 trajectory=traj, fmt=fmt)
+    for httpd, _ in server_cache.values():
         httpd.shutdown()
 
     summary = {"n_particles": args.particles, "n_steps": args.steps,
@@ -168,11 +193,11 @@ def main():
         return
     print(f"\n/rollout load: {args.clients} clients x {args.requests} "
           f"requests, N={args.particles}, {args.steps} steps/request\n")
-    print(f"{'config':<28} {'req/s':>7} {'steps/s':>9} {'p50 ms':>8} "
+    print(f"{'config':<34} {'req/s':>7} {'steps/s':>9} {'p50 ms':>8} "
           f"{'p95 ms':>8} {'p99 ms':>8}")
-    print("-" * 72)
+    print("-" * 78)
     for name, r in results.items():
-        print(f"{name:<28} {r['requests_per_s']:>7} "
+        print(f"{name:<34} {r['requests_per_s']:>7} "
               f"{r['rollout_steps_per_s']:>9} {r['latency_ms']['p50']:>8} "
               f"{r['latency_ms']['p95']:>8} {r['latency_ms']['p99']:>8}")
 

@@ -10,11 +10,20 @@ Endpoints (JSON over HTTP, no external dependencies):
   GET  /healthz           -> {"status": "ok", "device": ..., "model": ...}
   POST /rollout           -> single system rollout
         {"positions": (N,3), "velocities": (N,3), "masses": (N,),
-         "n_steps": int}
+         "n_steps": int, "trajectory": bool = true, "format": "json"|"npz"}
         -> {"positions": (n_steps+1,N,3), "velocities": (n_steps+1,N,3)}
+           ("trajectory": false -> final (N,3) state only)
   POST /rollout_batch     -> batched rollout (one device program for all)
         {"positions": (B,N,3), "velocities": (B,N,3), "masses": (N,),
-         "n_steps": int}
+         "n_steps": int, "trajectory": bool = true, "format": ...}
+
+Response cost matters as much as device cost: a 394-step N=200 trajectory
+is ~10 MB of float text as JSON (measured to dominate request latency).
+Clients that only need the endpoint state should send "trajectory": false;
+clients that need the full trajectory should send "format": "npz" (an
+uncompressed f32 .npz body — the compute precision — ~5x smaller and far
+cheaper to produce/parse than JSON). Both knobs also apply to /simulate
+(which already defaulted to final-state-only).
 
 Device access is serialized with a lock (one chip); batching is the
 throughput lever — a (B, N) batch rolls out as one vmapped scan program.
@@ -63,23 +72,31 @@ class RolloutService:
         else:
             self.rollout(pos, vel, masses, n_steps)
 
-    def rollout(self, positions, velocities, masses, n_steps: int):
+    def rollout(self, positions, velocities, masses, n_steps: int,
+                trajectory: bool = True):
+        """``trajectory=False`` returns only the final state (N, 3)x2 —
+        measured on this host, the full-trajectory JSON response dominates
+        request latency (~10 MB of float text for 394 steps at N=200), so
+        next-state-service clients should ask for the endpoint only."""
         with self._lock:
             out = self.predictor.predict_rollout(
                 np.asarray(positions, np.float32),
                 np.asarray(velocities, np.float32),
                 np.asarray(masses, np.float32), n_steps=int(n_steps))
-        return {"positions": np.asarray(out["positions"]),
-                "velocities": np.asarray(out["velocities"])}
+        sel = slice(None) if trajectory else -1
+        return {"positions": np.asarray(out["positions"][sel]),
+                "velocities": np.asarray(out["velocities"][sel])}
 
-    def rollout_batch(self, positions, velocities, masses, n_steps: int):
+    def rollout_batch(self, positions, velocities, masses, n_steps: int,
+                      trajectory: bool = True):
         with self._lock:
             out = self.predictor.predict_rollout_batch(
                 np.asarray(positions, np.float32),
                 np.asarray(velocities, np.float32),
                 np.asarray(masses, np.float32), n_steps=int(n_steps))
-        return {"positions": np.asarray(out["positions"]),
-                "velocities": np.asarray(out["velocities"])}
+        sel = slice(None) if trajectory else (slice(None), -1)
+        return {"positions": np.asarray(out["positions"][sel]),
+                "velocities": np.asarray(out["velocities"][sel])}
 
     # Steps per device program for /simulate: one compile covers every
     # full chunk regardless of the client's n_steps, and each program
@@ -143,10 +160,12 @@ class RolloutService:
 class _Job:
     """One queued single-system rollout awaiting a coalesced dispatch."""
 
-    __slots__ = ("pos", "vel", "masses", "event", "result", "error")
+    __slots__ = ("pos", "vel", "masses", "trajectory", "event", "result",
+                 "error")
 
-    def __init__(self, pos, vel, masses):
+    def __init__(self, pos, vel, masses, trajectory=True):
         self.pos, self.vel, self.masses = pos, vel, masses
+        self.trajectory = trajectory
         self.event = threading.Event()
         self.result = None
         self.error = None
@@ -187,12 +206,13 @@ class MicroBatcher:
         for b in self.buckets:
             self.service.warmup(n_particles, n_steps, batch=b)
 
-    def rollout(self, positions, velocities, masses, n_steps: int):
+    def rollout(self, positions, velocities, masses, n_steps: int,
+                trajectory: bool = True):
         pos = np.asarray(positions, np.float32)
         vel = np.asarray(velocities, np.float32)
         masses = np.asarray(masses, np.float32)
         key = (pos.shape[0], int(n_steps))
-        job = _Job(pos, vel, masses)
+        job = _Job(pos, vel, masses, trajectory)
         with self._lock:
             queue = self._pending.setdefault(key, [])
             queue.append(job)
@@ -239,13 +259,19 @@ class MicroBatcher:
             pad = bucket - len(jobs)
             take = jobs + [jobs[-1]] * pad
             try:
+                # If nobody in this batch wants the full trajectory, the
+                # host-side conversion of (B, steps+1, N, 3) is skipped too.
+                want_traj = any(j.trajectory for j in jobs)
                 out = self.service.rollout_batch(
                     np.stack([j.pos for j in take]),
                     np.stack([j.vel for j in take]),
-                    np.stack([j.masses for j in take]), n_steps)
+                    np.stack([j.masses for j in take]), n_steps,
+                    trajectory=want_traj)
                 for i, j in enumerate(jobs):
-                    j.result = {"positions": out["positions"][i],
-                                "velocities": out["velocities"][i]}
+                    sel = (slice(None) if j.trajectory or not want_traj
+                           else -1)
+                    j.result = {"positions": out["positions"][i][sel],
+                                "velocities": out["velocities"][i][sel]}
             except Exception as e:  # surface to every waiter
                 for j in jobs:
                     j.error = e
@@ -293,6 +319,21 @@ def make_handler(service: RolloutService,
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_npz(self, arrays: dict) -> None:
+            # Uncompressed npz of f32 arrays: the compute is f32, so the
+            # cast is lossless, the body is ~5x smaller than the float-text
+            # JSON, and no CPU is burnt compressing incompressible floats.
+            import io
+            buf = io.BytesIO()
+            np.savez(buf, **{k: np.asarray(v, np.float32)
+                             for k, v in arrays.items()})
+            body = buf.getvalue()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
             if self.path == "/healthz":
                 import jax
@@ -312,6 +353,10 @@ def make_handler(service: RolloutService,
                 payload = json.loads(self.rfile.read(length))
                 batched = self.path == "/rollout_batch"
                 pos, vel, masses, n_steps = _validate(payload, batched)
+                fmt = payload.get("format", "json")
+                if fmt not in ("json", "npz"):
+                    raise ValueError(f"format must be 'json' or 'npz', "
+                                     f"got {fmt!r}")
                 if self.path == "/simulate":
                     try:
                         dt = float(payload.get("dt", 0.001))
@@ -342,13 +387,26 @@ def make_handler(service: RolloutService,
                     out = service.simulate(
                         pos, vel, masses, n_steps, dt=dt,
                         trajectory=trajectory, save_interval=save_interval)
-                elif batched:
-                    out = service.rollout_batch(pos, vel, masses, n_steps)
-                elif batcher is not None:
-                    out = batcher.rollout(pos, vel, masses, n_steps)
                 else:
-                    out = service.rollout(pos, vel, masses, n_steps)
-                self._reply(200, {k: v.tolist() for k, v in out.items()})
+                    traj = payload.get("trajectory", True)
+                    if not isinstance(traj, bool):
+                        raise ValueError(
+                            f"trajectory must be a JSON bool, got "
+                            f"{type(traj).__name__}")
+                    if batched:
+                        out = service.rollout_batch(pos, vel, masses,
+                                                    n_steps, trajectory=traj)
+                    elif batcher is not None:
+                        out = batcher.rollout(pos, vel, masses, n_steps,
+                                              trajectory=traj)
+                    else:
+                        out = service.rollout(pos, vel, masses, n_steps,
+                                              trajectory=traj)
+                if fmt == "npz":
+                    self._reply_npz(out)
+                else:
+                    self._reply(200,
+                                {k: v.tolist() for k, v in out.items()})
             except ValueError as e:
                 self._reply(400, {"error": str(e)})
             except Exception as e:  # keep the server alive on bad input

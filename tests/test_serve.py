@@ -83,6 +83,64 @@ def test_rollout_batch_endpoint(server):
     assert np.asarray(out["positions"]).shape == (B, 3, N, 3)
 
 
+def post_npz(url, payload):
+    import io
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        assert resp.headers["Content-Type"] == "application/octet-stream"
+        return dict(np.load(io.BytesIO(resp.read())))
+
+
+def test_rollout_final_only(server):
+    """trajectory:false returns just the endpoint state, equal to the last
+    frame of the full-trajectory response."""
+    rng = np.random.RandomState(5)
+    payload = {"positions": rng.randn(N, 3).tolist(),
+               "velocities": rng.randn(N, 3).tolist(),
+               "masses": rng.uniform(1e10, 1e12, N).tolist(), "n_steps": 3}
+    full = post(f"{server}/rollout", payload)
+    final = post(f"{server}/rollout", {**payload, "trajectory": False})
+    assert np.asarray(final["positions"]).shape == (N, 3)
+    np.testing.assert_array_equal(np.asarray(final["positions"]),
+                                  np.asarray(full["positions"])[-1])
+
+
+def test_rollout_npz_format(server):
+    """format:npz returns a binary f32 npz body with the same values as
+    the JSON response."""
+    rng = np.random.RandomState(6)
+    payload = {"positions": rng.randn(N, 3).tolist(),
+               "velocities": rng.randn(N, 3).tolist(),
+               "masses": rng.uniform(1e10, 1e12, N).tolist(), "n_steps": 2}
+    js = post(f"{server}/rollout", payload)
+    bz = post_npz(f"{server}/rollout", {**payload, "format": "npz"})
+    assert bz["positions"].dtype == np.float32
+    assert bz["positions"].shape == (3, N, 3)
+    np.testing.assert_allclose(bz["positions"],
+                               np.asarray(js["positions"], np.float32),
+                               rtol=0, atol=0)
+    # batched endpoint supports it too, composed with final-only
+    bz2 = post_npz(f"{server}/rollout_batch", {
+        "positions": rng.randn(2, N, 3).tolist(),
+        "velocities": rng.randn(2, N, 3).tolist(),
+        "masses": rng.uniform(1e10, 1e12, N).tolist(),
+        "n_steps": 2, "trajectory": False, "format": "npz"})
+    assert bz2["positions"].shape == (2, N, 3)
+
+
+def test_rollout_bad_format_and_trajectory_type(server):
+    rng = np.random.RandomState(7)
+    payload = {"positions": rng.randn(N, 3).tolist(),
+               "velocities": rng.randn(N, 3).tolist(),
+               "masses": rng.uniform(1e10, 1e12, N).tolist(), "n_steps": 1}
+    for bad in ({"format": "csv"}, {"trajectory": "yes"}):
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(f"{server}/rollout", {**payload, **bad})
+        assert exc.value.code == 400
+
+
 def test_bad_request_is_400_and_server_survives(server):
     with pytest.raises(urllib.error.HTTPError) as exc:
         post(f"{server}/rollout", {"positions": [[1.0, 2.0]],
@@ -100,20 +158,29 @@ def test_bad_request_is_400_and_server_survives(server):
 
 class _StubService:
     """Counts rollout_batch dispatches; result is a pure function of the
-    inputs so per-job slicing/padding can be verified exactly."""
+    inputs so per-job slicing/padding can be verified exactly. Mirrors the
+    real service's shapes: (B, n_steps+1, N, 3) trajectories whose frame t
+    is pos+t, or final (B, N, 3) states when trajectory=False."""
 
     def __init__(self, fail=False):
         self.calls = []
+        self.trajs = []
         self.fail = fail
         self._lock = threading.Lock()
 
-    def rollout_batch(self, pos, vel, masses, n_steps):
+    def rollout_batch(self, pos, vel, masses, n_steps, trajectory=True):
         with self._lock:
             self.calls.append(pos.shape[0])
+            self.trajs.append(trajectory)
         if self.fail:
             raise RuntimeError("boom")
-        return {"positions": pos + n_steps,
-                "velocities": vel + masses[..., None]}
+        p_final = pos + n_steps
+        v_final = vel + masses[..., None]
+        if not trajectory:
+            return {"positions": p_final, "velocities": v_final}
+        return {"positions": np.stack([pos + t
+                                       for t in range(n_steps + 1)], 1),
+                "velocities": np.stack([v_final] * (n_steps + 1), 1)}
 
 
 def _fire(batcher, jobs, n_steps=3):
@@ -158,8 +225,9 @@ def test_micro_batcher_coalesces_and_pads():
     # the 4-bucket; each caller gets exactly its own system back.
     assert stub.calls == [4]
     for job, res in zip(jobs, results):
-        np.testing.assert_array_equal(res["positions"], job[0] + 3)
-        np.testing.assert_array_equal(res["velocities"],
+        assert res["positions"].shape == (4, 6, 3)  # n_steps+1 frames
+        np.testing.assert_array_equal(res["positions"][-1], job[0] + 3)
+        np.testing.assert_array_equal(res["velocities"][-1],
                                       job[1] + job[2][:, None])
 
 
@@ -170,7 +238,7 @@ def test_micro_batcher_single_request_uses_smallest_bucket():
     batcher = MicroBatcher(stub, max_batch=4, max_wait_s=0.01)
     res = batcher.rollout(*_job(9), 2)
     assert stub.calls == [1]
-    np.testing.assert_array_equal(res["positions"], _job(9)[0] + 2)
+    np.testing.assert_array_equal(res["positions"][-1], _job(9)[0] + 2)
 
 
 def test_micro_batcher_distinct_keys_do_not_coalesce():
@@ -195,8 +263,10 @@ def test_micro_batcher_distinct_keys_do_not_coalesce():
     for t in threads:
         t.join(timeout=30)
     assert sorted(stub.calls) == [1, 1]
-    np.testing.assert_array_equal(results[0]["positions"], jobs[0][0] + 5)
-    np.testing.assert_array_equal(results[1]["positions"], jobs[1][0] + 7)
+    np.testing.assert_array_equal(results[0]["positions"][-1],
+                                  jobs[0][0] + 5)
+    np.testing.assert_array_equal(results[1]["positions"][-1],
+                                  jobs[1][0] + 7)
 
 
 def test_micro_batcher_error_propagates_to_every_waiter():
@@ -210,7 +280,70 @@ def test_micro_batcher_error_propagates_to_every_waiter():
     # the batcher must be reusable after a failed dispatch
     stub.fail = False
     res = batcher.rollout(*_job(7), 1)
-    np.testing.assert_array_equal(res["positions"], _job(7)[0] + 1)
+    np.testing.assert_array_equal(res["positions"][-1], _job(7)[0] + 1)
+
+
+def test_micro_batcher_mixed_trajectory_flags():
+    """Final-only and full-trajectory requests coalesce into ONE dispatch;
+    each caller gets its requested shape."""
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher
+
+    stub = _StubService()
+    batcher = MicroBatcher(stub, max_batch=4, max_wait_s=0.25)
+    jobs = [_job(0), _job(1), _job(2)]
+    results, errors = [None] * 3, [None] * 3
+    barrier = threading.Barrier(3)
+
+    def work(i, traj):
+        barrier.wait()
+        try:
+            results[i] = batcher.rollout(*jobs[i], 3, trajectory=traj)
+        except Exception as e:  # noqa: BLE001
+            errors[i] = e
+
+    flags = [True, False, True]
+    threads = [threading.Thread(target=work, args=(i, flags[i]))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert errors == [None] * 3
+    assert stub.calls == [4] and stub.trajs == [True]
+    assert results[0]["positions"].shape == (4, 6, 3)
+    assert results[1]["positions"].shape == (6, 3)  # final state only
+    np.testing.assert_array_equal(results[1]["positions"], jobs[1][0] + 3)
+    np.testing.assert_array_equal(results[2]["positions"][-1],
+                                  jobs[2][0] + 3)
+
+
+def test_micro_batcher_all_final_only_skips_trajectory_conversion():
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher
+
+    stub = _StubService()
+    batcher = MicroBatcher(stub, max_batch=4, max_wait_s=0.25)
+    jobs = [_job(s) for s in range(2)]
+    results, errors = [None] * 2, [None] * 2
+    barrier = threading.Barrier(2)
+
+    def work(i):
+        barrier.wait()
+        try:
+            results[i] = batcher.rollout(*jobs[i], 2, trajectory=False)
+        except Exception as e:  # noqa: BLE001
+            errors[i] = e
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    assert errors == [None] * 2
+    # the device dispatch itself ran final-only (no (B,T,N,3) conversion)
+    assert stub.trajs == [False]
+    for job, res in zip(jobs, results):
+        assert res["positions"].shape == (6, 3)
+        np.testing.assert_array_equal(res["positions"], job[0] + 2)
 
 
 @pytest.fixture(scope="module")
@@ -338,7 +471,7 @@ def test_micro_batcher_non_power_of_two_cap_no_deadlock():
     assert all(r is not None for r in results)
     assert stub.calls == [6]  # one padded dispatch, not a hang
     for job, res in zip(jobs, results):
-        np.testing.assert_array_equal(res["positions"], job[0] + 3)
+        np.testing.assert_array_equal(res["positions"][-1], job[0] + 3)
 
 
 def test_micro_batcher_overflow_drains_in_capped_chunks():
@@ -354,7 +487,7 @@ def test_micro_batcher_overflow_drains_in_capped_chunks():
     assert all(r is not None for r in results)
     assert all(c <= 4 for c in stub.calls), stub.calls
     for job, res in zip(jobs, results):
-        np.testing.assert_array_equal(res["positions"], job[0] + 3)
+        np.testing.assert_array_equal(res["positions"][-1], job[0] + 3)
 
 
 def test_resolve_edge_impl_guards():
