@@ -117,8 +117,9 @@ class Predictor:
 
         return step
 
-    def _get_rollout_fn(self, n_particles: int, n_steps: int):
-        key = (n_particles, n_steps)
+    def _get_rollout_fn(self, n_particles: int, n_steps: int,
+                        trajectory: bool = True):
+        key = (n_particles, n_steps, trajectory)
         if key not in self._rollout_cache:
             step = self._build_step(n_particles)
 
@@ -127,18 +128,24 @@ class Predictor:
                 def body(carry, _):
                     pos, vel = carry
                     pos, vel = step(params, pos, vel, mass_feat)
-                    return (pos, vel), (pos, vel)
+                    return (pos, vel), ((pos, vel) if trajectory else None)
 
-                _, (ps, vs) = jax.lax.scan(body, (pos0, vel0), None,
-                                           length=n_steps)
+                carry, ys = jax.lax.scan(body, (pos0, vel0), None,
+                                         length=n_steps)
+                if not trajectory:
+                    # Final state only: the program's output is (N, 3)x2 —
+                    # nothing per-step is materialized or read back.
+                    return carry
+                ps, vs = ys
                 return (jnp.concatenate([pos0[None], ps]),
                         jnp.concatenate([vel0[None], vs]))
 
             self._rollout_cache[key] = rollout
         return self._rollout_cache[key]
 
-    def _get_batch_rollout_fn(self, n_particles: int, n_steps: int):
-        key = ("batch", n_particles, n_steps)
+    def _get_batch_rollout_fn(self, n_particles: int, n_steps: int,
+                              trajectory: bool = True):
+        key = ("batch", n_particles, n_steps, trajectory)
         if key not in self._rollout_cache:
             step = self._build_step(n_particles)
 
@@ -151,10 +158,14 @@ class Predictor:
                     def body(carry, _):
                         pos, vel = carry
                         pos, vel = step(params, pos, vel, mf)
-                        return (pos, vel), (pos, vel)
+                        return (pos, vel), ((pos, vel) if trajectory
+                                            else None)
 
-                    _, (ps, vs) = jax.lax.scan(body, (p0, v0), None,
-                                               length=n_steps)
+                    carry, ys = jax.lax.scan(body, (p0, v0), None,
+                                             length=n_steps)
+                    if not trajectory:
+                        return carry
+                    ps, vs = ys
                     return (jnp.concatenate([p0[None], ps]),
                             jnp.concatenate([v0[None], vs]))
 
@@ -180,12 +191,18 @@ class Predictor:
 
     def predict_rollout(self, initial_positions: np.ndarray,
                         initial_velocities: np.ndarray,
-                        masses: np.ndarray, n_steps: int
-                        ) -> Dict[str, np.ndarray]:
+                        masses: np.ndarray, n_steps: int,
+                        trajectory: bool = True) -> Dict[str, np.ndarray]:
         """Multi-step rollout (parity: ``predict.py:119-154``) — one device
-        program for all steps."""
+        program for all steps.
+
+        ``trajectory=False`` compiles a final-state-only variant: the scan
+        carries no per-step outputs, so the device materializes and the
+        host reads back just (N, 3)x2 instead of (n_steps+1, N, 3)x2 —
+        the right mode for next-state serving (the readback is the
+        dominant per-request cost on a tunneled host)."""
         n_particles = len(masses)
-        rollout = self._get_rollout_fn(n_particles, n_steps)
+        rollout = self._get_rollout_fn(n_particles, n_steps, trajectory)
         mass_feat = (np.asarray(masses) / np.asarray(masses).mean()
                      ).reshape(-1, 1).astype(np.float32)
         ps, vs = rollout(self.params,
@@ -201,7 +218,8 @@ class Predictor:
 
     def predict_rollout_batch(self, initial_positions: np.ndarray,
                               initial_velocities: np.ndarray,
-                              masses: np.ndarray, n_steps: int
+                              masses: np.ndarray, n_steps: int,
+                              trajectory: bool = True
                               ) -> Dict[str, np.ndarray]:
         """Rollouts for a whole batch of initial states in ONE device
         program (``vmap`` over sims) — used by evaluation to run all test
@@ -213,11 +231,15 @@ class Predictor:
         ``masses``: (N,) shared across the batch, or (B, N) per system —
         each system's mass feature is normalized by its own mean, matching
         ``predict_rollout``'s semantics for that system alone.
+
+        ``trajectory=False``: final (B, N, 3) states only (see
+        ``predict_rollout``).
         """
         masses = np.asarray(masses)
         batch = np.asarray(initial_positions).shape[0]
         n_particles = masses.shape[-1]
-        rollout = self._get_batch_rollout_fn(n_particles, n_steps)
+        rollout = self._get_batch_rollout_fn(n_particles, n_steps,
+                                             trajectory)
         if masses.ndim == 1:
             masses = np.broadcast_to(masses, (batch, n_particles))
         mass_feat = (masses / masses.mean(axis=1, keepdims=True)

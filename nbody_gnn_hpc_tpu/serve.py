@@ -60,32 +60,39 @@ class RolloutService:
 
     def warmup(self, n_particles: int, n_steps: int,
                batch: Optional[int] = None) -> None:
-        """Compile the rollout program for a (batch, N, n_steps) shape so
-        the first real request doesn't pay compile latency."""
+        """Compile the rollout programs for a (batch, N, n_steps) shape so
+        the first real request doesn't pay compile latency — both response
+        variants (full trajectory and final-state-only) are separate
+        compiled programs, so both are warmed."""
         rng = np.random.RandomState(0)
         pos = rng.randn(n_particles, 3).astype(np.float32)
         vel = rng.randn(n_particles, 3).astype(np.float32)
         masses = rng.uniform(1e10, 1e12, n_particles).astype(np.float32)
-        if batch:
-            self.rollout_batch(np.stack([pos] * batch),
-                               np.stack([vel] * batch), masses, n_steps)
-        else:
-            self.rollout(pos, vel, masses, n_steps)
+        for trajectory in (True, False):
+            if batch:
+                self.rollout_batch(np.stack([pos] * batch),
+                                   np.stack([vel] * batch), masses, n_steps,
+                                   trajectory=trajectory)
+            else:
+                self.rollout(pos, vel, masses, n_steps,
+                             trajectory=trajectory)
 
     def rollout(self, positions, velocities, masses, n_steps: int,
                 trajectory: bool = True):
-        """``trajectory=False`` returns only the final state (N, 3)x2 —
-        measured on this host, the full-trajectory JSON response dominates
-        request latency (~10 MB of float text for 394 steps at N=200), so
-        next-state-service clients should ask for the endpoint only."""
+        """``trajectory=False`` returns only the final state (N, 3)x2, via
+        a final-state-only compiled program (the scan carries no per-step
+        outputs) — measured on this host, the full-trajectory readback +
+        JSON response dominates request latency (~10 MB of float text for
+        394 steps at N=200), so next-state-service clients should ask for
+        the endpoint only."""
         with self._lock:
             out = self.predictor.predict_rollout(
                 np.asarray(positions, np.float32),
                 np.asarray(velocities, np.float32),
-                np.asarray(masses, np.float32), n_steps=int(n_steps))
-        sel = slice(None) if trajectory else -1
-        return {"positions": np.asarray(out["positions"][sel]),
-                "velocities": np.asarray(out["velocities"][sel])}
+                np.asarray(masses, np.float32), n_steps=int(n_steps),
+                trajectory=trajectory)
+        return {"positions": np.asarray(out["positions"]),
+                "velocities": np.asarray(out["velocities"])}
 
     def rollout_batch(self, positions, velocities, masses, n_steps: int,
                       trajectory: bool = True):
@@ -93,10 +100,10 @@ class RolloutService:
             out = self.predictor.predict_rollout_batch(
                 np.asarray(positions, np.float32),
                 np.asarray(velocities, np.float32),
-                np.asarray(masses, np.float32), n_steps=int(n_steps))
-        sel = slice(None) if trajectory else (slice(None), -1)
-        return {"positions": np.asarray(out["positions"][sel]),
-                "velocities": np.asarray(out["velocities"][sel])}
+                np.asarray(masses, np.float32), n_steps=int(n_steps),
+                trajectory=trajectory)
+        return {"positions": np.asarray(out["positions"]),
+                "velocities": np.asarray(out["velocities"])}
 
     # Steps per device program for /simulate: one compile covers every
     # full chunk regardless of the client's n_steps, and each program

@@ -32,3 +32,19 @@ def test_batch_rollout_matches_single(rng):
                                    single["positions"], rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(batch["velocities"][i],
                                    single["velocities"], rtol=1e-5, atol=1e-6)
+
+    # Final-state-only programs (serving mode: the scan carries no
+    # per-step outputs) must agree with the last trajectory frame exactly
+    # (identical step math, identical iteration count).
+    final_b = pred.predict_rollout_batch(pos0, vel0, masses, steps,
+                                         trajectory=False)
+    assert final_b["positions"].shape == (b, n, 3)
+    np.testing.assert_array_equal(final_b["positions"],
+                                  batch["positions"][:, -1])
+    final_s = pred.predict_rollout(pos0[0], vel0[0], masses, steps,
+                                   trajectory=False)
+    assert final_s["positions"].shape == (n, 3)
+    np.testing.assert_array_equal(
+        final_s["positions"],
+        pred.predict_rollout(pos0[0], vel0[0], masses,
+                             steps)["positions"][-1])
