@@ -152,6 +152,24 @@ def main():
     print(f"Concurrent wall clock: {wall * 1e3:.1f} ms "
           f"(micro-batched; sequential would be ~{args.clients}x one rollout)")
 
+    # Response modes: final-state-only (a separate compiled program that
+    # never materializes the trajectory) and binary npz bodies — both cut
+    # the dominant cost of long-rollout requests (response size).
+    payload = {"positions": rng.uniform(-5, 5, (n, 3)).tolist(),
+               "velocities": np.zeros((n, 3)).tolist(),
+               "masses": rng.uniform(1e10, 1e12, n).tolist(),
+               "n_steps": args.steps}
+    final = post(f"{base}/rollout", {**payload, "trajectory": False})
+    req = urllib.request.Request(
+        f"{base}/rollout",
+        data=json.dumps({**payload, "format": "npz"}).encode(),
+        headers={"Content-Type": "application/json"})
+    npz_bytes = urllib.request.urlopen(req, timeout=300).read()
+    json_bytes = len(json.dumps(post(f"{base}/rollout", payload)).encode())
+    print(f"final-only: state {np.asarray(final['positions']).shape}; "
+          f"npz trajectory body {len(npz_bytes):,} B vs JSON "
+          f"~{json_bytes:,} B")
+
     # The same service also exposes the exact-physics engine:
     sim_out = post(f"{base}/simulate", {
         "positions": rng.uniform(-5, 5, (n, 3)).tolist(),
