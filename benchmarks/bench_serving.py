@@ -117,20 +117,19 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
 def start_server(model_path: str, config_path: str, micro_batch: int,
                  quantize, n_particles: int, n_steps: int):
     """In-process server on an ephemeral port, fully warmed (compiles paid
-    here, not in the timed load)."""
-    from nbody_gnn_hpc_tpu.models import model_from_config
-    from nbody_gnn_hpc_tpu.serve import MicroBatcher, RolloutService, serve
+    here, not in the timed load). Built via serve.build_service so the
+    benchmark measures exactly what scripts/serve.py serves."""
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher, build_service, serve
 
-    cfg = json.loads(Path(config_path).read_text())
-    model = model_from_config(cfg["model_config"], dtype_override="float32")
-    k = cfg.get("training_config", {}).get("k_neighbors", 40)
-    service = RolloutService(model, model_path, k_neighbors=k,
-                             quantize=quantize)
+    service = build_service(model_path, config_path, quantize=quantize)
     batcher = (MicroBatcher(service, max_batch=micro_batch)
                if micro_batch > 0 else None)
-    service.warmup(n_particles, n_steps)
     if batcher is not None:
+        # All /rollout traffic routes through the batcher's bucketed
+        # batch programs; the unbatched programs would be dead compiles.
         batcher.warmup(n_particles, n_steps)
+    else:
+        service.warmup(n_particles, n_steps)
     httpd = serve(service, host="127.0.0.1", port=0, batcher=batcher)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"

@@ -192,7 +192,8 @@ class Predictor:
     def predict_rollout(self, initial_positions: np.ndarray,
                         initial_velocities: np.ndarray,
                         masses: np.ndarray, n_steps: int,
-                        trajectory: bool = True) -> Dict[str, np.ndarray]:
+                        trajectory: bool = True,
+                        out_dtype=np.float64) -> Dict[str, np.ndarray]:
         """Multi-step rollout (parity: ``predict.py:119-154``) — one device
         program for all steps.
 
@@ -200,7 +201,12 @@ class Predictor:
         carries no per-step outputs, so the device materializes and the
         host reads back just (N, 3)x2 instead of (n_steps+1, N, 3)x2 —
         the right mode for next-state serving (the readback is the
-        dominant per-request cost on a tunneled host)."""
+        dominant per-request cost on a tunneled host).
+
+        ``out_dtype``: host dtype of the returned arrays. float64 is the
+        reference's output convention (predict.py returns f64); serving
+        passes float32 — the compute is f32, so the narrow copy is
+        lossless and skips an upcast copy of the whole trajectory."""
         n_particles = len(masses)
         rollout = self._get_rollout_fn(n_particles, n_steps, trajectory)
         mass_feat = (np.asarray(masses) / np.asarray(masses).mean()
@@ -210,8 +216,8 @@ class Predictor:
                          jnp.asarray(initial_velocities, jnp.float32),
                          jnp.asarray(mass_feat))
         return {
-            "positions": np.asarray(ps, np.float64),
-            "velocities": np.asarray(vs, np.float64),
+            "positions": np.asarray(ps, out_dtype),
+            "velocities": np.asarray(vs, out_dtype),
             "n_steps": n_steps,
             "n_particles": n_particles,
         }
@@ -219,7 +225,8 @@ class Predictor:
     def predict_rollout_batch(self, initial_positions: np.ndarray,
                               initial_velocities: np.ndarray,
                               masses: np.ndarray, n_steps: int,
-                              trajectory: bool = True
+                              trajectory: bool = True,
+                              out_dtype=np.float64
                               ) -> Dict[str, np.ndarray]:
         """Rollouts for a whole batch of initial states in ONE device
         program (``vmap`` over sims) — used by evaluation to run all test
@@ -232,8 +239,8 @@ class Predictor:
         each system's mass feature is normalized by its own mean, matching
         ``predict_rollout``'s semantics for that system alone.
 
-        ``trajectory=False``: final (B, N, 3) states only (see
-        ``predict_rollout``).
+        ``trajectory=False``: final (B, N, 3) states only; ``out_dtype``:
+        host dtype of the returned arrays (see ``predict_rollout``).
         """
         masses = np.asarray(masses)
         batch = np.asarray(initial_positions).shape[0]
@@ -249,8 +256,8 @@ class Predictor:
                          jnp.asarray(initial_velocities, jnp.float32),
                          jnp.asarray(mass_feat))
         return {
-            "positions": np.asarray(ps, np.float64),
-            "velocities": np.asarray(vs, np.float64),
+            "positions": np.asarray(ps, out_dtype),
+            "velocities": np.asarray(vs, out_dtype),
             "n_steps": n_steps,
             "n_particles": n_particles,
         }

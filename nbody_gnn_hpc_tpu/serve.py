@@ -38,6 +38,32 @@ from typing import Optional, Tuple
 import numpy as np
 
 
+def build_service(model_path: str, config_path: str,
+                  quantize: Optional[str] = None) -> "RolloutService":
+    """Construct a RolloutService from a checkpoint + persisted config.json
+    (the schema train_model.py writes). Single source of truth for the
+    architecture/k_neighbors reconstruction — scripts/serve.py and
+    benchmarks/bench_serving.py both use this, so benchmark numbers are
+    measured on exactly what the server serves."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    from nbody_gnn_hpc_tpu.models import model_from_config
+
+    cfg_path = _Path(config_path)
+    if cfg_path.exists():
+        cfg = _json.loads(cfg_path.read_text())
+        model_config = cfg["model_config"]
+        k_neighbors = cfg.get("training_config", {}).get("k_neighbors", 40)
+    else:
+        model_config = {"node_input_dim": 7, "hidden_dim": 256,
+                        "n_layers": 6, "output_dim": 6, "dropout": 0.1}
+        k_neighbors = 40
+    model = model_from_config(model_config, dtype_override="float32")
+    return RolloutService(model, model_path, k_neighbors=k_neighbors,
+                          quantize=quantize)
+
+
 class RolloutService:
     """Checkpoint-backed rollout engine with shape warmup."""
 
@@ -59,16 +85,19 @@ class RolloutService:
         }
 
     def warmup(self, n_particles: int, n_steps: int,
-               batch: Optional[int] = None) -> None:
+               batch: Optional[int] = None,
+               trajectories=(True, False)) -> None:
         """Compile the rollout programs for a (batch, N, n_steps) shape so
-        the first real request doesn't pay compile latency — both response
-        variants (full trajectory and final-state-only) are separate
-        compiled programs, so both are warmed."""
+        the first real request doesn't pay compile latency. Each response
+        variant (full trajectory / final-state-only) is a separate compiled
+        program; both are warmed by default — pass ``trajectories=(True,)``
+        to halve cold-start time when clients only ever use one mode
+        (remote compiles cost minutes on a tunneled host)."""
         rng = np.random.RandomState(0)
         pos = rng.randn(n_particles, 3).astype(np.float32)
         vel = rng.randn(n_particles, 3).astype(np.float32)
         masses = rng.uniform(1e10, 1e12, n_particles).astype(np.float32)
-        for trajectory in (True, False):
+        for trajectory in trajectories:
             if batch:
                 self.rollout_batch(np.stack([pos] * batch),
                                    np.stack([vel] * batch), masses, n_steps,
@@ -86,13 +115,15 @@ class RolloutService:
         394 steps at N=200), so next-state-service clients should ask for
         the endpoint only."""
         with self._lock:
+            # out_dtype=f32: the compute is f32, so serving responses skip
+            # the reference-convention f64 upcast copy of the trajectory.
             out = self.predictor.predict_rollout(
                 np.asarray(positions, np.float32),
                 np.asarray(velocities, np.float32),
                 np.asarray(masses, np.float32), n_steps=int(n_steps),
-                trajectory=trajectory)
-        return {"positions": np.asarray(out["positions"]),
-                "velocities": np.asarray(out["velocities"])}
+                trajectory=trajectory, out_dtype=np.float32)
+        return {"positions": out["positions"],
+                "velocities": out["velocities"]}
 
     def rollout_batch(self, positions, velocities, masses, n_steps: int,
                       trajectory: bool = True):
@@ -101,9 +132,9 @@ class RolloutService:
                 np.asarray(positions, np.float32),
                 np.asarray(velocities, np.float32),
                 np.asarray(masses, np.float32), n_steps=int(n_steps),
-                trajectory=trajectory)
-        return {"positions": np.asarray(out["positions"]),
-                "velocities": np.asarray(out["velocities"])}
+                trajectory=trajectory, out_dtype=np.float32)
+        return {"positions": out["positions"],
+                "velocities": out["velocities"]}
 
     # Steps per device program for /simulate: one compile covers every
     # full chunk regardless of the client's n_steps, and each program
@@ -208,10 +239,12 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._pending = {}  # (n_particles, n_steps) -> list[_Job]
 
-    def warmup(self, n_particles: int, n_steps: int) -> None:
+    def warmup(self, n_particles: int, n_steps: int,
+               trajectories=(True, False)) -> None:
         """Compile every bucket size for a (N, n_steps) shape."""
         for b in self.buckets:
-            self.service.warmup(n_particles, n_steps, batch=b)
+            self.service.warmup(n_particles, n_steps, batch=b,
+                                trajectories=trajectories)
 
     def rollout(self, positions, velocities, masses, n_steps: int,
                 trajectory: bool = True):

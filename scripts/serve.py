@@ -44,22 +44,10 @@ def main():
                              "followers to join")
     args = parser.parse_args()
 
-    from nbody_gnn_hpc_tpu.models import model_from_config
-    from nbody_gnn_hpc_tpu.serve import MicroBatcher, RolloutService, serve
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher, build_service, serve
 
-    config_path = Path(args.config_path)
-    if config_path.exists():
-        cfg = json.loads(config_path.read_text())
-        model_config = cfg["model_config"]
-        k_neighbors = cfg.get("training_config", {}).get("k_neighbors", 40)
-    else:
-        model_config = {"node_input_dim": 7, "hidden_dim": 256,
-                        "n_layers": 6, "output_dim": 6, "dropout": 0.1}
-        k_neighbors = 40
-
-    model = model_from_config(model_config, dtype_override="float32")
-    service = RolloutService(model, args.model_path, k_neighbors=k_neighbors,
-                             quantize=args.quantize)
+    service = build_service(args.model_path, args.config_path,
+                            quantize=args.quantize)
 
     batcher = MicroBatcher(service, max_batch=args.micro_batch,
                            max_wait_s=args.micro_batch_wait_ms / 1e3) \
