@@ -152,6 +152,10 @@ def main():
                         help="Also measure a quantized-serving column")
     parser.add_argument("--json", action="store_true",
                         help="Print one JSON line instead of the table")
+    parser.add_argument("--sweep-clients", default=None, metavar="C1,C2,..",
+                        help="Also sweep concurrency (final-only mode, "
+                             "micro-batched server): e.g. 1,4,8,16 — shows "
+                             "how coalescing scales with offered load")
     args = parser.parse_args()
 
     # (name, micro_batch, quantize, trajectory, fmt): the response modes
@@ -181,12 +185,22 @@ def main():
         results[name] = run_load(url, args.particles, args.steps,
                                  args.clients, args.requests,
                                  trajectory=traj, fmt=fmt)
+
+    sweep = {}
+    if args.sweep_clients:
+        _, url = server_cache[(mb, None)]  # warmed micro-batched f32 server
+        for c in (int(x) for x in args.sweep_clients.split(",")):
+            run_load(url, args.particles, args.steps, c, 1,
+                     trajectory=False)  # untimed warm round per thread count
+            sweep[c] = run_load(url, args.particles, args.steps, c,
+                                args.requests, trajectory=False)
     for httpd, _ in server_cache.values():
         httpd.shutdown()
 
     summary = {"n_particles": args.particles, "n_steps": args.steps,
                "clients": args.clients,
-               "requests_per_client": args.requests, "results": results}
+               "requests_per_client": args.requests, "results": results,
+               "client_sweep_final_only": sweep}
     if args.json:
         print(json.dumps(summary))
         return
@@ -199,6 +213,13 @@ def main():
         print(f"{name:<34} {r['requests_per_s']:>7} "
               f"{r['rollout_steps_per_s']:>9} {r['latency_ms']['p50']:>8} "
               f"{r['latency_ms']['p95']:>8} {r['latency_ms']['p99']:>8}")
+    if sweep:
+        print(f"\nConcurrency sweep (final-only, micro-batch {mb}):\n")
+        print(f"{'clients':>8} {'req/s':>8} {'p50 ms':>8} {'p99 ms':>8}")
+        print("-" * 36)
+        for c, r in sweep.items():
+            print(f"{c:>8} {r['requests_per_s']:>8} "
+                  f"{r['latency_ms']['p50']:>8} {r['latency_ms']['p99']:>8}")
 
 
 if __name__ == "__main__":
