@@ -31,7 +31,9 @@ datagen pipeline overlaps device compute with host HDF5 writes.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
 N_SIMS = 300
@@ -41,8 +43,36 @@ REPS = 20
 BASELINE_SIM_STEPS_PER_SEC = 12_000.0
 
 
+def _probe_backend(timeout_s=300.0):
+    """Fail fast if the device backend is unresponsive.
+
+    The axon tunnel can go down for an hour+ (observed; see
+    .claude/skills/verify/SKILL.md): every readback then hangs forever.
+    Require a trivial matmul to round-trip within timeout_s before starting
+    the real benchmark, so an outage produces a clear error instead of an
+    indefinite hang. 300s covers a cold compile of the probe over the tunnel.
+    """
+    done = threading.Event()
+
+    def work():
+        import jax.numpy as jnp
+        x = jnp.ones((256, 256))
+        float((x @ x).sum())
+        done.set()
+
+    threading.Thread(target=work, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"ERROR: device backend unresponsive (trivial matmul did not "
+              f"complete in {timeout_s:.0f}s) — aborting. No benchmark was "
+              f"run; this is a backend outage, not a framework failure.",
+              file=sys.stderr)
+        os._exit(1)
+
+
 def main():
     import jax
+
+    _probe_backend()
 
     from nbody_gnn_hpc_tpu.parallel import (PlanesEnsemble, make_mesh,
                                             simulate_ensemble)

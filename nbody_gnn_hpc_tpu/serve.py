@@ -25,10 +25,23 @@ uncompressed f32 .npz body — the compute precision — ~5x smaller and far
 cheaper to produce/parse than JSON). Both knobs also apply to /simulate
 (which already defaulted to final-state-only).
 
+Streaming ("stream": true on /rollout and /simulate): the trajectory is
+computed in fixed-size chunks and sent as NDJSON — one JSON line per chunk
+({"frame_start", "positions", "velocities"[, "times"]}), terminated by
+{"done": true}. The device lock is released between chunks (long streams
+interleave with other traffic instead of stalling it), host memory is
+bounded at one chunk, and /rollout streams of ANY length reuse one
+compiled (N, chunk) program ("chunk" request key, default 64). Streamed
+/simulate trajectories are exempt from the 4000-saved-frame cap — nothing
+is buffered. Mid-stream errors arrive as a final {"error": ...} line
+(headers are already out); a stream without the "done" terminator is
+incomplete.
+
 Device access is serialized with a lock (one chip); batching is the
 throughput lever — a (B, N) batch rolls out as one vmapped scan program.
 """
 
+import itertools
 import json
 import threading
 import time
@@ -135,6 +148,92 @@ class RolloutService:
                 trajectory=trajectory, out_dtype=np.float32)
         return {"positions": out["positions"],
                 "velocities": out["velocities"]}
+
+    # Rollout steps per streamed chunk: one compiled (N, chunk) program
+    # covers any client n_steps (the tail reuses it and slices), and each
+    # chunk's device+readback latency stays well under a second.
+    STREAM_CHUNK = 64
+
+    def rollout_stream(self, positions, velocities, masses, n_steps: int,
+                       chunk: Optional[int] = None):
+        """GNN rollout as a generator of trajectory chunks.
+
+        Yields dicts ``{"frame_start": int, "positions": (F, N, 3),
+        "velocities": (F, N, 3)}`` whose frames concatenate to exactly the
+        ``trajectory=True`` rollout (frames 0..n_steps inclusive; chunk
+        boundaries never duplicate a frame).
+
+        Three properties the monolithic rollout doesn't have:
+        - the device lock is held per CHUNK, not per request, so concurrent
+          requests interleave with a long stream instead of stalling behind
+          it (streamed requests bypass the MicroBatcher for the same
+          reason);
+        - host memory is bounded at one chunk regardless of n_steps;
+        - every chunk — including the tail — runs the SAME compiled
+          (n_particles, chunk) program (the tail's surplus steps are
+          computed and discarded; surplus < chunk), so an arbitrary-length
+          stream costs one compile. ``warmup(n_particles, chunk)`` warms it.
+        """
+        pos = np.asarray(positions, np.float32)
+        vel = np.asarray(velocities, np.float32)
+        masses = np.asarray(masses, np.float32)
+        n_steps = int(n_steps)
+        chunk = int(chunk or self.STREAM_CHUNK)
+        done = 0
+        while done < n_steps:
+            todo = min(chunk, n_steps - done)
+            with self._lock:
+                out = self.predictor.predict_rollout(
+                    pos, vel, masses, n_steps=chunk, trajectory=True,
+                    out_dtype=np.float32)
+            ps, vs = out["positions"], out["velocities"]  # (chunk+1, N, 3)
+            pos, vel = ps[todo], vs[todo]
+            lo = 0 if done == 0 else 1  # drop duplicated chunk head
+            yield {"frame_start": done + lo,
+                   "positions": ps[lo:todo + 1],
+                   "velocities": vs[lo:todo + 1]}
+            done += todo
+
+    def simulate_stream(self, positions, velocities, masses, n_steps: int,
+                        dt: float = 0.001, save_interval: int = 1):
+        """Exact-physics trajectory as a generator of chunks (the streaming
+        counterpart of ``simulate(trajectory=True)``; same <=SIM_CHUNK-step
+        device programs, but each chunk is yielded as soon as it is read
+        back and the device lock is released between chunks). Because
+        nothing is buffered, streamed simulations are exempt from the
+        handler's saved-frame cap.
+
+        Yields ``{"frame_start": int, "positions", "velocities", "times"}``
+        in saved-frame index space; chunks concatenate to exactly the
+        buffered trajectory-mode response."""
+        from nbody_gnn_hpc_tpu.sim import accelerations
+        from nbody_gnn_hpc_tpu.sim.integrator import run_trajectory
+        from nbody_gnn_hpc_tpu.sim.state import make_state
+
+        n_steps = int(n_steps)
+        save_interval = int(save_interval)
+        state = make_state(np.asarray(positions, np.float32),
+                           np.asarray(velocities, np.float32),
+                           np.asarray(masses, np.float32))
+        state = state._replace(
+            accelerations=accelerations(state.positions, state.masses))
+        chunk = max(save_interval,
+                    (self.SIM_CHUNK // save_interval) * save_interval)
+        done = 0
+        while done < n_steps:
+            todo = min(chunk, n_steps - done)
+            with self._lock:
+                traj = run_trajectory(state, dt, todo,
+                                      save_interval=save_interval)
+            state = traj.final
+            skip = 0 if done == 0 else 1  # drop duplicated chunk head
+            # chunk is a multiple of save_interval, so completed chunks
+            # land exactly on saved-frame boundaries.
+            yield {"frame_start": done // save_interval + skip,
+                   "positions": np.asarray(traj.positions[skip:]),
+                   "velocities": np.asarray(traj.velocities[skip:]),
+                   "times": np.asarray(traj.times[skip:])}
+            done += todo
 
     # Steps per device program for /simulate: one compile covers every
     # full chunk regardless of the client's n_steps, and each program
@@ -359,6 +458,39 @@ def make_handler(service: RolloutService,
             self.end_headers()
             self.wfile.write(body)
 
+        def _reply_stream(self, chunks) -> None:
+            """NDJSON streaming response: one JSON line per trajectory
+            chunk, then a ``{"done": true}`` terminator line. No
+            Content-Length — ``Connection: close`` delimits the body, so
+            any HTTP client that reads lines incrementally can consume
+            frames while later chunks are still being computed. The caller
+            computes the FIRST chunk before invoking this, so input errors
+            still produce a proper HTTP status code."""
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            try:
+                for obj in chunks:
+                    line = json.dumps(
+                        {k: v.tolist() if isinstance(v, np.ndarray) else v
+                         for k, v in obj.items()})
+                    self.wfile.write(line.encode() + b"\n")
+                    self.wfile.flush()
+                self.wfile.write(b'{"done": true}\n')
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; stop computing further chunks
+            except Exception as e:
+                # Headers are already out — surface the error in-band as
+                # the final line (clients see no "done" terminator).
+                try:
+                    self.wfile.write(json.dumps(
+                        {"error": f"{type(e).__name__}: {e}"}).encode()
+                        + b"\n")
+                except OSError:
+                    pass
+            self.close_connection = True
+
         def _reply_npz(self, arrays: dict) -> None:
             # Uncompressed npz of f32 arrays: the compute is f32, so the
             # cast is lossless, the body is ~5x smaller than the float-text
@@ -397,6 +529,17 @@ def make_handler(service: RolloutService,
                 if fmt not in ("json", "npz"):
                     raise ValueError(f"format must be 'json' or 'npz', "
                                      f"got {fmt!r}")
+                stream = payload.get("stream", False)
+                if not isinstance(stream, bool):
+                    raise ValueError(f"stream must be a JSON bool, got "
+                                     f"{type(stream).__name__}")
+                if stream:
+                    if batched:
+                        raise ValueError("stream is supported on /rollout "
+                                         "and /simulate only")
+                    if fmt != "json":
+                        raise ValueError("stream responses are NDJSON; "
+                                         "use format 'json'")
                 if self.path == "/simulate":
                     try:
                         dt = float(payload.get("dt", 0.001))
@@ -413,6 +556,17 @@ def make_handler(service: RolloutService,
                     if not (1 <= save_interval <= n_steps):
                         raise ValueError(
                             f"save_interval out of range: {save_interval}")
+                    if stream:
+                        # Streamed trajectories buffer nothing and release
+                        # the device lock between chunks, so they are
+                        # exempt from the saved-frame cap below — streaming
+                        # IS the sanctioned way to fetch big trajectories.
+                        chunks = service.simulate_stream(
+                            pos, vel, masses, n_steps, dt=dt,
+                            save_interval=save_interval)
+                        first = next(chunks)
+                        self._reply_stream(itertools.chain([first], chunks))
+                        return
                     # Trajectory mode buffers and JSON-serializes every
                     # saved frame while holding the device lock; cap the
                     # frame count so one request can't stall all traffic
@@ -433,6 +587,19 @@ def make_handler(service: RolloutService,
                         raise ValueError(
                             f"trajectory must be a JSON bool, got "
                             f"{type(traj).__name__}")
+                    if stream:
+                        chunk = payload.get("chunk",
+                                            service.STREAM_CHUNK)
+                        if not isinstance(chunk, int) \
+                                or not (1 <= chunk <= 1024):
+                            raise ValueError(
+                                f"chunk must be an int in [1, 1024], "
+                                f"got {chunk!r}")
+                        chunks = service.rollout_stream(
+                            pos, vel, masses, n_steps, chunk=chunk)
+                        first = next(chunks)
+                        self._reply_stream(itertools.chain([first], chunks))
+                        return
                     if batched:
                         out = service.rollout_batch(pos, vel, masses,
                                                     n_steps, trajectory=traj)

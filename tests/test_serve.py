@@ -672,3 +672,160 @@ def test_rollout_service_quantize(tmp_path):
     rel = float(np.sqrt(np.mean((a - b) ** 2))
                 / (np.sqrt(np.mean(a ** 2)) + 1e-30))
     assert rel < 5e-2, rel
+
+
+# -- streaming (chunked NDJSON) -----------------------------------------------
+
+def post_stream(url, payload, timeout=120):
+    """POST and read the NDJSON stream line by line (as a client would)."""
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    lines = []
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        for raw in resp:
+            lines.append(json.loads(raw))
+    return lines
+
+
+def reassemble(lines):
+    """Concatenate streamed chunks into full trajectory arrays, checking
+    the frame bookkeeping (contiguous, no duplicates, done terminator)."""
+    assert lines[-1] == {"done": True}
+    chunks = lines[:-1]
+    next_frame = 0
+    parts_p, parts_v = [], []
+    for c in chunks:
+        assert c["frame_start"] == next_frame, (c["frame_start"], next_frame)
+        p = np.asarray(c["positions"], np.float32)
+        parts_p.append(p)
+        parts_v.append(np.asarray(c["velocities"], np.float32))
+        next_frame += p.shape[0]
+    return np.concatenate(parts_p), np.concatenate(parts_v)
+
+
+def test_rollout_stream_matches_monolithic_service_level(batched_server):
+    """rollout_stream chunks concatenate to exactly the monolithic
+    trajectory rollout — including a tail shorter than the chunk."""
+    _, service = batched_server
+    rng = np.random.RandomState(21)
+    pos = rng.randn(N, 3).astype(np.float32)
+    vel = rng.randn(N, 3).astype(np.float32)
+    m = rng.uniform(1e10, 1e12, N).astype(np.float32)
+
+    full = service.rollout(pos, vel, m, 7)
+    got_p, got_v = [], []
+    nxt = 0
+    for c in service.rollout_stream(pos, vel, m, 7, chunk=3):
+        assert c["frame_start"] == nxt
+        got_p.append(c["positions"])
+        got_v.append(c["velocities"])
+        nxt += c["positions"].shape[0]
+    got_p = np.concatenate(got_p)
+    got_v = np.concatenate(got_v)
+    assert got_p.shape == (8, N, 3)  # frames 0..7
+    np.testing.assert_array_equal(got_p, full["positions"])
+    np.testing.assert_array_equal(got_v, full["velocities"])
+
+
+def test_rollout_stream_http(server):
+    """HTTP stream: NDJSON chunks reassemble to the non-streamed response;
+    one compiled chunk program serves any n_steps."""
+    rng = np.random.RandomState(22)
+    payload = {"positions": rng.randn(N, 3).tolist(),
+               "velocities": rng.randn(N, 3).tolist(),
+               "masses": rng.uniform(1e10, 1e12, N).tolist(),
+               "n_steps": 5, "chunk": 2}
+    full = post(f"{server}/rollout", {k: payload[k] for k in
+                                      ("positions", "velocities", "masses",
+                                       "n_steps")})
+    lines = post_stream(f"{server}/rollout", {**payload, "stream": True})
+    got_p, got_v = reassemble(lines)
+    assert got_p.shape == (6, N, 3)
+    np.testing.assert_array_equal(
+        got_p, np.asarray(full["positions"], np.float32))
+    np.testing.assert_array_equal(
+        got_v, np.asarray(full["velocities"], np.float32))
+
+
+def test_simulate_stream_matches_buffered(tmp_path):
+    """simulate_stream chunks concatenate to the buffered trajectory-mode
+    response across multiple device programs (forced small SIM_CHUNK)."""
+    model = NBodyGNN(node_input_dim=7, hidden_dim=16, n_layers=1,
+                     output_dim=6, dropout=0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), 8, 8 * 3)
+    ckpt = tmp_path / "m.pt"
+    save_checkpoint(ckpt, params=params, opt_state=None,
+                    scheduler_state=None, best_val_loss=0.0, history={},
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)},
+                    model_config={})
+    service = RolloutService(model, str(ckpt), k_neighbors=3)
+    old = service.SIM_CHUNK
+    service.SIM_CHUNK = 6
+    try:
+        rng = np.random.RandomState(8)
+        n = 8
+        pos = rng.uniform(-2, 2, (n, 3))
+        vel = np.zeros((n, 3))
+        m = rng.uniform(1e10, 1e12, n)
+        buf = service.simulate(pos, vel, m, n_steps=20, dt=1e-3,
+                               trajectory=True, save_interval=2)
+        parts = {"positions": [], "velocities": [], "times": []}
+        nxt = 0
+        for c in service.simulate_stream(pos, vel, m, n_steps=20, dt=1e-3,
+                                         save_interval=2):
+            assert c["frame_start"] == nxt
+            for k in parts:
+                parts[k].append(c[k])
+            nxt += c["positions"].shape[0]
+        for k in parts:
+            np.testing.assert_array_equal(np.concatenate(parts[k]), buf[k])
+    finally:
+        service.SIM_CHUNK = old
+
+
+def test_stream_validation_errors(server):
+    rng = np.random.RandomState(23)
+    payload = {"positions": rng.randn(N, 3).tolist(),
+               "velocities": rng.randn(N, 3).tolist(),
+               "masses": rng.uniform(1e10, 1e12, N).tolist(),
+               "n_steps": 2, "stream": True}
+    cases = (
+        (f"{server}/rollout", {**payload, "format": "npz"}),
+        (f"{server}/rollout_batch", {
+            "positions": rng.randn(2, N, 3).tolist(),
+            "velocities": rng.randn(2, N, 3).tolist(),
+            "masses": rng.uniform(1e10, 1e12, N).tolist(),
+            "n_steps": 2, "stream": True}),
+        (f"{server}/rollout", {**payload, "chunk": 0}),
+        (f"{server}/rollout", {**payload, "chunk": "big"}),
+        (f"{server}/rollout", {**payload, "stream": "yes"}),
+    )
+    for url, bad in cases:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(url, bad)
+        assert exc.value.code == 400, (url, bad)
+    test_healthz(server)  # server survives
+
+
+def test_simulate_stream_exempt_from_frame_cap(server):
+    """The 4000-saved-frame cap applies to buffered trajectory mode only;
+    the same request streams fine (nothing is buffered server-side)."""
+    rng = np.random.RandomState(24)
+    n = 6
+    payload = {
+        "positions": rng.uniform(-3, 3, (n, 3)).tolist(),
+        "velocities": np.zeros((n, 3)).tolist(),
+        "masses": rng.uniform(1e10, 1e12, n).tolist(),
+        "n_steps": 4005, "trajectory": True, "save_interval": 1,
+    }
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        post(f"{server}/simulate", payload)
+    assert exc.value.code == 400
+    lines = post_stream(f"{server}/simulate",
+                        {**payload, "stream": True}, timeout=300)
+    assert lines[-1] == {"done": True}
+    n_frames = sum(len(c["positions"]) for c in lines[:-1])
+    assert n_frames == 4006  # initial state + 4005 saves
