@@ -10,6 +10,9 @@ we report per-request latency percentiles and aggregate throughput.
 
 Compared configurations (same checkpoint, same load):
   - sequential device lock (no micro-batching), full-trajectory JSON
+  - sequential, streamed NDJSON trajectory ("stream": true) — also reports
+    time-to-first-chunk, streaming's headline metric (the client starts
+    consuming frames after one chunk instead of after the whole rollout)
   - micro-batched (concurrent requests coalesced into one vmapped scan),
     with the three response modes: full-trajectory JSON (measured to be
     serialization-bound at 394 steps — ~10 MB of float text per request),
@@ -52,11 +55,37 @@ def _post(url: str, payload: dict, timeout: float = 600.0):
         return json.loads(body)
 
 
+def _post_stream(url: str, payload: dict, timeout: float = 600.0):
+    """Streamed ``/rollout``: returns (first_chunk_s, total_s, n_frames).
+    first_chunk_s is the streaming mode's headline — the client starts
+    consuming frames after ONE chunk instead of after the whole rollout."""
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    t0 = time.perf_counter()
+    first = None
+    frames = 0
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        for raw in resp:
+            obj = json.loads(raw)
+            if "error" in obj:
+                raise RuntimeError(f"mid-stream error: {obj['error']}")
+            if obj.get("done"):
+                return first, time.perf_counter() - t0, frames
+            if first is None:
+                first = time.perf_counter() - t0
+            frames += len(obj["positions"])
+    raise RuntimeError("stream ended without the done terminator")
+
+
 def run_load(base_url: str, n_particles: int, n_steps: int,
              clients: int, requests_per_client: int, seed: int = 0,
              trajectory: bool = True, fmt: str = "json") -> dict:
     """Fire ``clients`` threads x ``requests_per_client`` sequential
-    ``/rollout`` requests; return latency percentiles + throughput."""
+    ``/rollout`` requests; return latency percentiles + throughput.
+    ``fmt="stream"`` uses NDJSON streaming and additionally reports
+    time-to-first-chunk percentiles."""
+    stream = fmt == "stream"
     rng = np.random.RandomState(seed)
     payloads = []
     for _ in range(clients):
@@ -65,12 +94,13 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
             "velocities": rng.randn(n_particles, 3).tolist(),
             "masses": rng.uniform(1e10, 1e12, n_particles).tolist(),
             "n_steps": n_steps,
-            "trajectory": trajectory,
-            "format": fmt,
+            **({"stream": True} if stream
+               else {"trajectory": trajectory, "format": fmt}),
         })
     want_frames = n_steps + 1 if trajectory else n_particles
 
     latencies = [[] for _ in range(clients)]
+    first_chunk = [[] for _ in range(clients)]
     errors = []
     barrier = threading.Barrier(clients + 1)
 
@@ -79,6 +109,13 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
         for _ in range(requests_per_client):
             t0 = time.perf_counter()
             try:
+                if stream:
+                    fc, total, frames = _post_stream(f"{base_url}/rollout",
+                                                     payloads[i])
+                    assert frames == want_frames
+                    first_chunk[i].append(fc)
+                    latencies[i].append(total)
+                    continue
                 out = _post(f"{base_url}/rollout", payloads[i])
                 assert len(out["positions"]) == want_frames
             except Exception as e:  # pragma: no cover - surfaced below
@@ -100,7 +137,7 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
         raise RuntimeError(f"{len(errors)} request(s) failed: {errors[0]}")
     lat = np.sort(np.concatenate([np.asarray(l) for l in latencies]))
     total = clients * requests_per_client
-    return {
+    out = {
         "requests": total,
         "wall_s": round(wall, 3),
         "requests_per_s": round(total / wall, 2),
@@ -112,6 +149,13 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
             "p99": round(1e3 * float(np.percentile(lat, 99)), 1),
         },
     }
+    if stream:
+        fc = np.sort(np.concatenate([np.asarray(l) for l in first_chunk]))
+        out["first_chunk_ms"] = {
+            "p50": round(1e3 * float(np.percentile(fc, 50)), 1),
+            "p95": round(1e3 * float(np.percentile(fc, 95)), 1),
+        }
+    return out
 
 
 def start_server(model_path: str, config_path: str, micro_batch: int,
@@ -130,6 +174,9 @@ def start_server(model_path: str, config_path: str, micro_batch: int,
         batcher.warmup(n_particles, n_steps)
     else:
         service.warmup(n_particles, n_steps)
+        # Streamed requests run the (N, STREAM_CHUNK) program instead.
+        service.warmup(n_particles, service.STREAM_CHUNK,
+                       trajectories=(True,))
     httpd = serve(service, host="127.0.0.1", port=0, batcher=batcher)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
@@ -163,6 +210,7 @@ def main():
     # of float text per request and measured to dominate latency.
     mb = args.micro_batch
     configs = [("sequential, traj json", 0, None, True, "json"),
+               ("sequential, traj stream", 0, None, True, "stream"),
                (f"micro-batch {mb}, traj json", mb, None, True, "json"),
                (f"micro-batch {mb}, traj npz", mb, None, True, "npz"),
                (f"micro-batch {mb}, final-only", mb, None, False, "json")]
@@ -207,12 +255,14 @@ def main():
     print(f"\n/rollout load: {args.clients} clients x {args.requests} "
           f"requests, N={args.particles}, {args.steps} steps/request\n")
     print(f"{'config':<34} {'req/s':>7} {'steps/s':>9} {'p50 ms':>8} "
-          f"{'p95 ms':>8} {'p99 ms':>8}")
-    print("-" * 78)
+          f"{'p95 ms':>8} {'p99 ms':>8} {'1st-chunk':>10}")
+    print("-" * 89)
     for name, r in results.items():
+        fc = r.get("first_chunk_ms")
         print(f"{name:<34} {r['requests_per_s']:>7} "
               f"{r['rollout_steps_per_s']:>9} {r['latency_ms']['p50']:>8} "
-              f"{r['latency_ms']['p95']:>8} {r['latency_ms']['p99']:>8}")
+              f"{r['latency_ms']['p95']:>8} {r['latency_ms']['p99']:>8} "
+              f"{(str(fc['p50']) if fc else '-'):>10}")
     if sweep:
         print(f"\nConcurrency sweep (final-only, micro-batch {mb}):\n")
         print(f"{'clients':>8} {'req/s':>8} {'p50 ms':>8} {'p99 ms':>8}")

@@ -54,3 +54,24 @@ def test_run_load_measures_all_requests(server):
     lat = out["latency_ms"]
     assert lat["p50"] <= lat["p95"] <= lat["p99"]
     assert lat["mean"] > 0
+
+
+def test_run_load_stream_mode(server):
+    """fmt='stream' consumes NDJSON streams and reports first-chunk
+    percentiles alongside full-request latency."""
+    bench = _load_bench()
+    out = bench.run_load(server, N, n_steps=5, clients=2,
+                         requests_per_client=2, fmt="stream")
+    assert out["requests"] == 4
+    fc = out["first_chunk_ms"]
+    assert 0 < fc["p50"] <= fc["p95"]
+    # first chunk can't take longer than the whole request
+    assert fc["p50"] <= out["latency_ms"]["p99"]
+
+
+def test_run_load_final_only_mode(server):
+    bench = _load_bench()
+    out = bench.run_load(server, N, n_steps=2, clients=2,
+                         requests_per_client=1, trajectory=False)
+    assert out["requests"] == 2
+    assert "first_chunk_ms" not in out
