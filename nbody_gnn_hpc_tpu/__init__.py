@@ -67,6 +67,6 @@ def __getattr__(name):
     import importlib
 
     if name in ("sim", "ops", "models", "train", "predict", "parallel",
-                "io", "utils"):
+                "io", "utils", "serve", "client"):
         return importlib.import_module(f"nbody_gnn_hpc_tpu.{name}")
     raise AttributeError(name)

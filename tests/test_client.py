@@ -1,0 +1,121 @@
+"""RolloutClient: the typed Python consumer of the serving API, exercised
+against the real HTTP server (same fixture pattern as test_serve.py)."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from nbody_gnn_hpc_tpu.client import RolloutClient, ServiceError
+from nbody_gnn_hpc_tpu.io.model_io import save_checkpoint
+from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+from nbody_gnn_hpc_tpu.serve import RolloutService, serve
+
+N, K = 12, 4
+
+
+@pytest.fixture(scope="module")
+def service_and_url(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("client")
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1,
+                     output_dim=6, dropout=0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), N, N * K)
+    ckpt = tmp / "model.pt"
+    save_checkpoint(ckpt, params=params,
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)})
+    service = RolloutService(model, str(ckpt), k_neighbors=K)
+    httpd = serve(service, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    yield service, f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def _system(seed=0, n=N):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(n, 3).astype(np.float32),
+            rng.randn(n, 3).astype(np.float32),
+            rng.uniform(1e10, 1e12, n).astype(np.float32))
+
+
+def test_healthz(service_and_url):
+    _, url = service_and_url
+    h = RolloutClient(url).healthz()
+    assert h["status"] == "ok"
+
+
+@pytest.mark.parametrize("fmt", ["npz", "json"])
+def test_rollout_matches_direct_service(service_and_url, fmt):
+    service, url = service_and_url
+    pos, vel, m = _system(1)
+    client = RolloutClient(url, fmt=fmt)
+    out = client.rollout(pos, vel, m, 4)
+    direct = service.rollout(pos, vel, m, 4)
+    assert out["positions"].shape == (5, N, 3)
+    np.testing.assert_array_equal(
+        np.asarray(out["positions"], np.float32), direct["positions"])
+    # final-only
+    fin = client.rollout(pos, vel, m, 4, trajectory=False)
+    np.testing.assert_array_equal(np.asarray(fin["positions"], np.float32),
+                                  direct["positions"][-1])
+
+
+def test_rollout_batch(service_and_url):
+    service, url = service_and_url
+    s1, s2 = _system(2), _system(3)
+    client = RolloutClient(url)
+    out = client.rollout_batch(np.stack([s1[0], s2[0]]),
+                               np.stack([s1[1], s2[1]]), s1[2], 3)
+    assert out["positions"].shape == (2, 4, N, 3)
+    direct = service.rollout(*s1, 3)
+    np.testing.assert_allclose(np.asarray(out["positions"][0], np.float32),
+                               direct["positions"], rtol=2e-4, atol=1e-5)
+
+
+def test_rollout_stream_reassembles(service_and_url):
+    service, url = service_and_url
+    pos, vel, m = _system(4)
+    client = RolloutClient(url)
+    direct = service.rollout(pos, vel, m, 7)
+    frames_p, nxt = [], 0
+    for chunk in client.rollout_stream(pos, vel, m, 7, chunk=3):
+        assert chunk["frame_start"] == nxt
+        frames_p.append(chunk["positions"])
+        nxt += chunk["positions"].shape[0]
+    np.testing.assert_array_equal(np.concatenate(frames_p),
+                                  direct["positions"])
+
+
+def test_simulate_and_stream(service_and_url):
+    service, url = service_and_url
+    rng = np.random.RandomState(5)
+    pos = rng.uniform(-3, 3, (N, 3)).astype(np.float32)
+    vel = np.zeros((N, 3), np.float32)
+    m = rng.uniform(1e10, 1e12, N).astype(np.float32)
+    client = RolloutClient(url)
+    fin = client.simulate(pos, vel, m, 10, dt=1e-3)
+    assert fin["positions"].shape == (N, 3)
+    traj = client.simulate(pos, vel, m, 10, dt=1e-3, trajectory=True,
+                           save_interval=2)
+    assert traj["positions"].shape == (6, N, 3)
+    streamed = list(client.simulate_stream(pos, vel, m, 10, dt=1e-3,
+                                           save_interval=2))
+    np.testing.assert_array_equal(
+        np.concatenate([c["positions"] for c in streamed]),
+        np.asarray(traj["positions"], np.float32))
+
+
+def test_http_errors_raise_service_error(service_and_url):
+    _, url = service_and_url
+    client = RolloutClient(url)
+    pos, vel, m = _system(6)
+    with pytest.raises(ServiceError) as exc:
+        client.rollout(pos, vel, m, 0)  # n_steps below range
+    assert exc.value.status == 400
+    assert "n_steps" in str(exc.value)
+    with pytest.raises(ServiceError) as exc2:
+        list(client.rollout_stream(pos, vel, m, 2, chunk=0))
+    assert exc2.value.status == 400
+    with pytest.raises(ValueError):
+        RolloutClient(url, fmt="csv")
