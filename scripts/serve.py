@@ -60,6 +60,10 @@ def main():
               + ")...")
         service.warmup(args.warm_particles, args.warm_steps,
                        batch=args.warm_batch or None)
+        # Streamed requests run a (N, STREAM_CHUNK) program instead of the
+        # (N, warm_steps) one; warm it so first streams are compile-free.
+        service.warmup(args.warm_particles, service.STREAM_CHUNK,
+                       trajectories=(True,))
         if batcher is not None:
             print(f"Warming micro-batch buckets {batcher.buckets}...")
             batcher.warmup(args.warm_particles, args.warm_steps)
