@@ -96,6 +96,12 @@ class RolloutService:
             "k_neighbors": k_neighbors, "checkpoint": str(checkpoint_path),
             "quantization": self.predictor.quantization,
         }
+        # Resolved once: /healthz must answer from cached state, not call
+        # jax.devices() per request (device discovery can hang for minutes
+        # during a backend outage, and liveness probes are exactly what
+        # must keep answering then).
+        import jax
+        self.device = str(jax.devices()[0])
 
     def warmup(self, n_particles: int, n_steps: int,
                batch: Optional[int] = None,
@@ -508,10 +514,8 @@ def make_handler(service: RolloutService,
 
         def do_GET(self):
             if self.path == "/healthz":
-                import jax
-
                 self._reply(200, {"status": "ok",
-                                  "device": str(jax.devices()[0]),
+                                  "device": service.device,
                                   "model": service.model_info})
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})

@@ -119,3 +119,19 @@ def test_http_errors_raise_service_error(service_and_url):
     assert exc2.value.status == 400
     with pytest.raises(ValueError):
         RolloutClient(url, fmt="csv")
+
+
+def test_abandoned_stream_does_not_wedge_server(service_and_url):
+    """Closing a stream early (client walks away) must leave the server
+    able to answer subsequent requests — the handler's BrokenPipe path
+    stops chunk computation instead of crashing the worker thread."""
+    _, url = service_and_url
+    pos, vel, m = _system(7)
+    client = RolloutClient(url)
+    it = client.rollout_stream(pos, vel, m, 50, chunk=2)
+    next(it)          # consume one chunk...
+    it.close()        # ...then abandon the stream (closes the connection)
+    # server still answers
+    assert client.healthz()["status"] == "ok"
+    out = client.rollout(pos, vel, m, 3)
+    assert out["positions"].shape == (4, N, 3)
