@@ -424,13 +424,29 @@ class MicroBatcher:
                 j.event.set()
 
 
+def _require_int(val, name: str) -> int:
+    """A JSON integer (an integral float is tolerated; a bool — which IS an
+    int in Python — or a string is a client bug and must be a 400, not a
+    silent coercion like int(True) == 1)."""
+    if isinstance(val, bool) or not isinstance(val, (int, float)) \
+            or (isinstance(val, float) and not val.is_integer()):
+        raise ValueError(f"{name} must be a JSON integer, got {val!r}")
+    return int(val)
+
+
+def _require_number(val, name: str) -> float:
+    if isinstance(val, bool) or not isinstance(val, (int, float)):
+        raise ValueError(f"{name} must be a JSON number, got {val!r}")
+    return float(val)
+
+
 def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,
                                                      np.ndarray, int]:
     try:
         pos = np.asarray(payload["positions"], np.float32)
         vel = np.asarray(payload["velocities"], np.float32)
         masses = np.asarray(payload["masses"], np.float32)
-        n_steps = int(payload["n_steps"])
+        n_steps = _require_int(payload["n_steps"], "n_steps")
     except (KeyError, TypeError, ValueError) as e:
         raise ValueError(f"bad request: {e}")
     want_dims = 3 if batched else 2
@@ -545,12 +561,10 @@ def make_handler(service: RolloutService,
                         raise ValueError("stream responses are NDJSON; "
                                          "use format 'json'")
                 if self.path == "/simulate":
-                    try:
-                        dt = float(payload.get("dt", 0.001))
-                        save_interval = int(payload.get("save_interval", 1))
-                        trajectory = payload.get("trajectory", False)
-                    except (TypeError, ValueError) as e:
-                        raise ValueError(f"bad request: {e}")
+                    dt = _require_number(payload.get("dt", 0.001), "dt")
+                    save_interval = _require_int(
+                        payload.get("save_interval", 1), "save_interval")
+                    trajectory = payload.get("trajectory", False)
                     if not isinstance(trajectory, bool):
                         raise ValueError(
                             f"trajectory must be a JSON bool, got "
@@ -592,13 +606,12 @@ def make_handler(service: RolloutService,
                             f"trajectory must be a JSON bool, got "
                             f"{type(traj).__name__}")
                     if stream:
-                        chunk = payload.get("chunk",
-                                            service.STREAM_CHUNK)
-                        if not isinstance(chunk, int) \
-                                or not (1 <= chunk <= 1024):
+                        chunk = _require_int(
+                            payload.get("chunk", service.STREAM_CHUNK),
+                            "chunk")
+                        if not (1 <= chunk <= 1024):
                             raise ValueError(
-                                f"chunk must be an int in [1, 1024], "
-                                f"got {chunk!r}")
+                                f"chunk out of range [1, 1024]: {chunk}")
                         chunks = service.rollout_stream(
                             pos, vel, masses, n_steps, chunk=chunk)
                         first = next(chunks)

@@ -122,15 +122,42 @@ def test_http_errors_raise_service_error(service_and_url):
 
 
 def test_abandoned_stream_does_not_wedge_server(service_and_url):
-    """Closing a stream early (client walks away) must leave the server
-    able to answer subsequent requests — the handler's BrokenPipe path
-    stops chunk computation instead of crashing the worker thread."""
-    _, url = service_and_url
+    """Closing a stream early (client walks away) must (a) stop the server
+    computing further chunks and (b) leave it able to answer subsequent
+    requests. (a) is asserted by counting device dispatches through the
+    predictor: a 50-step stream at chunk=2 would be 25 dispatches if the
+    server ran to completion."""
+    import time
+
+    service, url = service_and_url
     pos, vel, m = _system(7)
     client = RolloutClient(url)
-    it = client.rollout_stream(pos, vel, m, 50, chunk=2)
-    next(it)          # consume one chunk...
-    it.close()        # ...then abandon the stream (closes the connection)
+
+    calls = []
+    real = service.predictor.predict_rollout
+
+    def counting(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    service.predictor.predict_rollout = counting
+    try:
+        it = client.rollout_stream(pos, vel, m, 50, chunk=2)
+        next(it)      # consume one chunk...
+        it.close()    # ...then abandon the stream (closes the connection)
+        # Give the handler thread time to hit the broken pipe and bail.
+        deadline = time.time() + 10
+        stable = len(calls)
+        while time.time() < deadline:
+            time.sleep(0.2)
+            if len(calls) == stable:
+                break
+            stable = len(calls)
+        # The write fails one chunk after the close at the latest; allow a
+        # little slack but far below the 25 a completed stream would take.
+        assert len(calls) <= 5, f"server kept computing: {len(calls)} chunks"
+    finally:
+        service.predictor.predict_rollout = real
     # server still answers
     assert client.healthz()["status"] == "ok"
     out = client.rollout(pos, vel, m, 3)

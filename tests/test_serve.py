@@ -829,3 +829,29 @@ def test_simulate_stream_exempt_from_frame_cap(server):
     assert lines[-1] == {"done": True}
     n_frames = sum(len(c["positions"]) for c in lines[:-1])
     assert n_frames == 4006  # initial state + 4005 saves
+
+
+def test_numeric_params_reject_json_booleans(server):
+    """int(True) == 1 in Python, so JSON booleans in numeric fields would
+    silently run a wrong request; every numeric param must 400 instead.
+    Integral floats (JSON '394.0') stay accepted."""
+    rng = np.random.RandomState(30)
+    base = {"positions": rng.uniform(-3, 3, (N, 3)).tolist(),
+            "velocities": np.zeros((N, 3)).tolist(),
+            "masses": rng.uniform(1e10, 1e12, N).tolist()}
+    bads = (
+        ("/rollout", {**base, "n_steps": True}),
+        ("/rollout", {**base, "n_steps": "3"}),
+        ("/rollout", {**base, "n_steps": 2.5}),
+        ("/rollout", {**base, "n_steps": 2, "stream": True, "chunk": True}),
+        ("/simulate", {**base, "n_steps": 4, "save_interval": True}),
+        ("/simulate", {**base, "n_steps": 4, "dt": True}),
+        ("/simulate", {**base, "n_steps": 4, "dt": "0.001"}),
+    )
+    for path, payload in bads:
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(f"{server}{path}", payload)
+        assert exc.value.code == 400, (path, payload)
+    # integral float is tolerated (JSON clients may send 3.0)
+    out = post(f"{server}/rollout", {**base, "n_steps": 3.0})
+    assert np.asarray(out["positions"]).shape == (4, N, 3)
