@@ -71,6 +71,16 @@ def main():
     httpd = serve(service, host=args.host, port=args.port, batcher=batcher)
     print(f"Serving on http://{args.host}:{args.port} "
           f"(endpoints: /healthz, /rollout, /rollout_batch, /simulate)")
+
+    # Graceful stop on SIGTERM (how a supervisor/orchestrator stops us):
+    # stop accepting connections and return from serve_forever; in-flight
+    # handler threads finish their current response.
+    import signal
+
+    def _term(signum, frame):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     try:
         httpd.serve_forever()
     except KeyboardInterrupt:

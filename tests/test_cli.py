@@ -143,3 +143,60 @@ def test_no_windows_pipeline(workdir):
          "16", "--n-layers", "1", "--k-neighbors", "4", "--batch-size", "16",
          "-d", "./data_nw", "-o", "./models_nw"], workdir)
     assert (workdir / "models_nw/final_model.pt").exists()
+
+
+def test_serve_cli_sigterm_graceful_shutdown(tmp_path):
+    """scripts/serve.py exits cleanly on SIGTERM (how a supervisor stops
+    it), after actually serving a request."""
+    import json as _json
+    import signal
+    import time
+    import urllib.request
+
+    import jax
+    import numpy as np
+
+    from nbody_gnn_hpc_tpu.io.model_io import save_checkpoint
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+
+    model_config = {"node_input_dim": 7, "hidden_dim": 8, "n_layers": 1,
+                    "output_dim": 6, "dropout": 0.0}
+    model = NBodyGNN(**model_config, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), 8, 8 * 3)
+    save_checkpoint(tmp_path / "model.pt", params=params,
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)})
+    (tmp_path / "config.json").write_text(_json.dumps(
+        {"model_config": model_config, "training_config":
+         {"k_neighbors": 3}}))
+
+    port = 8901
+    proc = subprocess.Popen(
+        [sys.executable, str(SCRIPTS / "serve.py"),
+         "-m", str(tmp_path / "model.pt"),
+         "-c", str(tmp_path / "config.json"),
+         "--port", str(port), "--warm-particles", "0"],
+        env=cli_env(), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True)
+    try:
+        deadline = time.time() + 120
+        up = False
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(
+                        f"http://127.0.0.1:{port}/healthz", timeout=5) as r:
+                    up = _json.loads(r.read())["status"] == "ok"
+                    break
+            except OSError:
+                if proc.poll() is not None:
+                    break
+                time.sleep(0.5)
+        assert up, f"server never came up: {proc.stdout and ''}"
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=30)
+        out = proc.stdout.read()
+        assert rc == 0, out[-2000:]
+        assert "Shutting down." in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
