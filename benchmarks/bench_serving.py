@@ -159,13 +159,20 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
 
 
 def start_server(model_path: str, config_path: str, micro_batch: int,
-                 quantize, n_particles: int, n_steps: int):
+                 quantize, n_particles: int, n_steps: int,
+                 replicas: int = 0):
     """In-process server on an ephemeral port, fully warmed (compiles paid
-    here, not in the timed load). Built via serve.build_service so the
-    benchmark measures exactly what scripts/serve.py serves."""
-    from nbody_gnn_hpc_tpu.serve import MicroBatcher, build_service, serve
+    here, not in the timed load). Built via serve.build_service /
+    build_replica_pool so the benchmark measures exactly what
+    scripts/serve.py serves."""
+    from nbody_gnn_hpc_tpu.serve import (MicroBatcher, build_replica_pool,
+                                         build_service, serve)
 
-    service = build_service(model_path, config_path, quantize=quantize)
+    if replicas:
+        service = build_replica_pool(model_path, config_path,
+                                     n_replicas=replicas, quantize=quantize)
+    else:
+        service = build_service(model_path, config_path, quantize=quantize)
     batcher = (MicroBatcher(service, max_batch=micro_batch)
                if micro_batch > 0 else None)
     if batcher is not None:
@@ -199,6 +206,9 @@ def main():
                         help="Also measure a quantized-serving column")
     parser.add_argument("--json", action="store_true",
                         help="Print one JSON line instead of the table")
+    parser.add_argument("--replicas", type=int, default=0, metavar="R",
+                        help="Also measure a device-replica pool of size R "
+                             "(serving DP; needs >=R visible devices)")
     parser.add_argument("--sweep-clients", default=None, metavar="C1,C2,..",
                         help="Also sweep concurrency (final-only mode, "
                              "micro-batched server): e.g. 1,4,8,16 — shows "
@@ -209,23 +219,30 @@ def main():
     # matter as much as the device config — full-trajectory JSON is ~10 MB
     # of float text per request and measured to dominate latency.
     mb = args.micro_batch
-    configs = [("sequential, traj json", 0, None, True, "json"),
-               ("sequential, traj stream", 0, None, True, "stream"),
-               (f"micro-batch {mb}, traj json", mb, None, True, "json"),
-               (f"micro-batch {mb}, traj npz", mb, None, True, "npz"),
-               (f"micro-batch {mb}, final-only", mb, None, False, "json")]
+    configs = [("sequential, traj json", 0, None, True, "json", 0),
+               ("sequential, traj stream", 0, None, True, "stream", 0),
+               (f"micro-batch {mb}, traj json", mb, None, True, "json", 0),
+               (f"micro-batch {mb}, traj npz", mb, None, True, "npz", 0),
+               (f"micro-batch {mb}, final-only", mb, None, False, "json", 0)]
     if args.quantize:
         configs.append((f"micro-batch {mb} {args.quantize}, final-only",
-                        mb, args.quantize, False, "json"))
+                        mb, args.quantize, False, "json", 0))
+    if args.replicas:
+        # Serving DP vs the single device lock, at the same offered load.
+        rp = args.replicas
+        configs += [(f"replica-pool {rp}, traj json", 0, None, True,
+                     "json", rp),
+                    (f"replica-pool {rp}, final-only", 0, None, False,
+                     "json", rp)]
 
     results = {}
     server_cache = {}
-    for name, mbatch, quant, traj, fmt in configs:
-        key = (mbatch, quant)
+    for name, mbatch, quant, traj, fmt, replicas in configs:
+        key = (mbatch, quant, replicas)
         if key not in server_cache:
             server_cache[key] = start_server(
                 args.model_path, args.config_path, mbatch, quant,
-                args.particles, args.steps)
+                args.particles, args.steps, replicas=replicas)
         _, url = server_cache[key]
         # One untimed round so every thread's HTTP path is exercised.
         run_load(url, args.particles, args.steps, args.clients, 1,
@@ -236,7 +253,7 @@ def main():
 
     sweep = {}
     if args.sweep_clients:
-        _, url = server_cache[(mb, None)]  # warmed micro-batched f32 server
+        _, url = server_cache[(mb, None, 0)]  # warmed micro-batched server
         for c in (int(x) for x in args.sweep_clients.split(",")):
             run_load(url, args.particles, args.steps, c, 1,
                      trajectory=False)  # untimed warm round per thread count

@@ -39,6 +39,10 @@ incomplete.
 
 Device access is serialized with a lock (one chip); batching is the
 throughput lever — a (B, N) batch rolls out as one vmapped scan program.
+On a multi-device host, :func:`build_replica_pool` puts one device-pinned
+replica per chip behind the same interface (serving DP): requests acquire
+a free replica instead of serializing on one lock, composing with the
+micro-batcher and every response mode.
 """
 
 import itertools
@@ -298,6 +302,93 @@ class RolloutService:
             return {"positions": np.concatenate(pos_parts),
                     "velocities": np.concatenate(vel_parts),
                     "times": np.concatenate(time_parts)}
+
+
+def build_replica_pool(model_path: str, config_path: str,
+                       n_replicas: Optional[int] = None,
+                       quantize: Optional[str] = None) -> "ReplicaPool":
+    """One device-pinned :class:`RolloutService` replica per visible device
+    (or the first ``n_replicas`` devices), behind the single-service
+    interface. On a multi-chip host this is serving DP: independent
+    requests run concurrently on different chips instead of serializing on
+    one device lock. The 2.5M-param model replicates trivially (SURVEY
+    §2.3: TP/PP are n/a); each replica's params are committed to its
+    device with ``jax.device_put`` so dispatches land there."""
+    import jax
+
+    devices = jax.devices()
+    n = len(devices) if n_replicas is None else int(n_replicas)
+    if not (1 <= n <= len(devices)):
+        raise ValueError(f"n_replicas={n} but {len(devices)} devices visible")
+    services = []
+    for dev in devices[:n]:
+        svc = build_service(model_path, config_path, quantize=quantize)
+        svc.predictor.params = jax.device_put(svc.predictor.params, dev)
+        svc.device = str(dev)
+        services.append(svc)
+    return ReplicaPool(services)
+
+
+class ReplicaPool:
+    """Device-replica pool with the RolloutService surface.
+
+    Each request acquires a free replica (FIFO; blocks when every replica
+    is busy — the multi-device generalization of the single service's
+    lock) and runs entirely on that replica's device. Streamed requests
+    pin one replica for the whole stream — the remaining replicas keep
+    serving other traffic, which is the point of the pool. Composes with
+    :class:`MicroBatcher` (each coalesced batch dispatch acquires one
+    replica).
+    """
+
+    def __init__(self, services):
+        import queue
+
+        if not services:
+            raise ValueError("ReplicaPool needs at least one service")
+        self.services = list(services)
+        self._free = queue.Queue()
+        for s in self.services:
+            self._free.put(s)
+        self.STREAM_CHUNK = self.services[0].STREAM_CHUNK
+        self.model_info = {**self.services[0].model_info,
+                           "replicas": len(self.services)}
+        self.device = ", ".join(s.device for s in self.services)
+
+    def warmup(self, *args, **kwargs) -> None:
+        # Every replica compiles its own device's executable (one compile
+        # per device; later replicas hit the persistent compile cache).
+        for s in self.services:
+            s.warmup(*args, **kwargs)
+
+    def _run(self, method, *args, **kwargs):
+        s = self._free.get()
+        try:
+            return getattr(s, method)(*args, **kwargs)
+        finally:
+            self._free.put(s)
+
+    def rollout(self, *args, **kwargs):
+        return self._run("rollout", *args, **kwargs)
+
+    def rollout_batch(self, *args, **kwargs):
+        return self._run("rollout_batch", *args, **kwargs)
+
+    def simulate(self, *args, **kwargs):
+        return self._run("simulate", *args, **kwargs)
+
+    def _stream_via(self, method, *args, **kwargs):
+        s = self._free.get()
+        try:
+            yield from getattr(s, method)(*args, **kwargs)
+        finally:
+            self._free.put(s)
+
+    def rollout_stream(self, *args, **kwargs):
+        return self._stream_via("rollout_stream", *args, **kwargs)
+
+    def simulate_stream(self, *args, **kwargs):
+        return self._stream_via("simulate_stream", *args, **kwargs)
 
 
 class _Job:

@@ -39,15 +39,29 @@ def main():
     parser.add_argument("--quantize", choices=("bf16", "int8"), default=None,
                         help="Weight-only serving quantization (smaller "
                              "resident model; int8 ~4x kernel compression)")
+    parser.add_argument("--replicas", type=int, default=0, metavar="R",
+                        help="Serving DP on a multi-device host: one "
+                             "device-pinned model replica per chip, up to R "
+                             "(-1 = every visible device; 0 = single "
+                             "service)")
     parser.add_argument("--micro-batch-wait-ms", type=float, default=5.0,
                         help="How long a micro-batch leader waits for "
                              "followers to join")
     args = parser.parse_args()
 
-    from nbody_gnn_hpc_tpu.serve import MicroBatcher, build_service, serve
+    from nbody_gnn_hpc_tpu.serve import (MicroBatcher, build_replica_pool,
+                                         build_service, serve)
 
-    service = build_service(args.model_path, args.config_path,
-                            quantize=args.quantize)
+    if args.replicas:
+        service = build_replica_pool(
+            args.model_path, args.config_path,
+            n_replicas=None if args.replicas < 0 else args.replicas,
+            quantize=args.quantize)
+        print(f"Replica pool: {service.model_info['replicas']} "
+              f"device-pinned replicas ({service.device})")
+    else:
+        service = build_service(args.model_path, args.config_path,
+                                quantize=args.quantize)
 
     batcher = MicroBatcher(service, max_batch=args.micro_batch,
                            max_wait_s=args.micro_batch_wait_ms / 1e3) \

@@ -1,0 +1,171 @@
+"""ReplicaPool: multi-device serving DP on the 8-virtual-device CPU mesh.
+
+One device-pinned RolloutService replica per device behind the single
+service interface — requests acquire free replicas instead of serializing
+on one device lock (SURVEY §2.3: the model replicates trivially at 2.5M
+params, so serving parallelism is DP).
+"""
+
+import json
+import threading
+import time
+
+import jax
+import numpy as np
+import pytest
+
+from nbody_gnn_hpc_tpu.io.model_io import save_checkpoint
+from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+from nbody_gnn_hpc_tpu.serve import build_replica_pool, build_service, serve
+
+N, K = 12, 4
+MODEL_CONFIG = {"node_input_dim": 7, "hidden_dim": 8, "n_layers": 1,
+                "output_dim": 6, "dropout": 0.0}
+
+
+@pytest.fixture(scope="module")
+def ckpt_paths(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pool")
+    model = NBodyGNN(**MODEL_CONFIG, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), N, N * K)
+    save_checkpoint(tmp / "model.pt", params=params,
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)})
+    (tmp / "config.json").write_text(json.dumps(
+        {"model_config": MODEL_CONFIG,
+         "training_config": {"k_neighbors": K}}))
+    return str(tmp / "model.pt"), str(tmp / "config.json")
+
+
+def _system(seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.randn(N, 3).astype(np.float32),
+            rng.randn(N, 3).astype(np.float32),
+            rng.uniform(1e10, 1e12, N).astype(np.float32))
+
+
+def test_pool_matches_single_service(ckpt_paths):
+    """Every endpoint through the pool equals the single-service result
+    exactly (replicas are the same program on identical devices)."""
+    pool = build_replica_pool(*ckpt_paths, n_replicas=2)
+    single = build_service(*ckpt_paths)
+    pos, vel, m = _system(1)
+
+    for kwargs in ({}, {"trajectory": False}):
+        a = pool.rollout(pos, vel, m, 4, **kwargs)
+        b = single.rollout(pos, vel, m, 4, **kwargs)
+        np.testing.assert_array_equal(a["positions"], b["positions"])
+
+    bp = pool.rollout_batch(np.stack([pos, pos]), np.stack([vel, vel]),
+                            m, 3)
+    bs = single.rollout_batch(np.stack([pos, pos]), np.stack([vel, vel]),
+                              m, 3)
+    np.testing.assert_array_equal(bp["positions"], bs["positions"])
+
+    sp = pool.simulate(pos, vel, m, 6, dt=1e-3, trajectory=True,
+                       save_interval=2)
+    ss = single.simulate(pos, vel, m, 6, dt=1e-3, trajectory=True,
+                         save_interval=2)
+    np.testing.assert_array_equal(sp["positions"], ss["positions"])
+
+    stream = np.concatenate([c["positions"] for c in
+                             pool.rollout_stream(pos, vel, m, 5, chunk=2)])
+    full = single.rollout(pos, vel, m, 5)
+    np.testing.assert_array_equal(stream, full["positions"])
+
+
+def test_pool_params_pinned_to_distinct_devices(ckpt_paths):
+    pool = build_replica_pool(*ckpt_paths, n_replicas=3)
+    devs = []
+    for svc in pool.services:
+        leaf = jax.tree_util.tree_leaves(svc.predictor.params)[0]
+        (dev,) = leaf.devices()
+        devs.append(dev)
+    assert len(set(devs)) == 3, devs
+    assert pool.model_info["replicas"] == 3
+
+
+def test_pool_concurrent_requests_fan_out(ckpt_paths):
+    """Truly concurrent requests run on distinct replicas — the pool's
+    reason to exist. Each replica's rollout is wrapped to record usage and
+    hold the replica briefly so concurrency is observable."""
+    pool = build_replica_pool(*ckpt_paths, n_replicas=2)
+    used = []
+
+    for svc in pool.services:
+        def make(svc=svc, real=None):
+            real = svc.rollout
+
+            def wrapped(*a, **k):
+                used.append(svc.device)
+                time.sleep(0.3)
+                return real(*a, **k)
+
+            return wrapped
+
+        svc.rollout = make()
+
+    pos, vel, m = _system(2)
+    barrier = threading.Barrier(4)
+    results = [None] * 4
+
+    def work(i):
+        barrier.wait()
+        results[i] = pool.rollout(pos, vel, m, 2)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    wall = time.time() - t0
+
+    assert all(r is not None for r in results)
+    assert len(set(used)) == 2, used  # both replicas carried load
+    # 4 requests x 0.3 s hold over 2 replicas ~= 2 waves, not 4 serialized
+    assert wall < 4 * 0.3 + 2.0, wall
+    # every replica returned to the pool
+    assert pool._free.qsize() == 2
+
+
+def test_pool_stream_releases_replica(ckpt_paths):
+    pool = build_replica_pool(*ckpt_paths, n_replicas=2)
+    pos, vel, m = _system(3)
+    it = pool.rollout_stream(pos, vel, m, 6, chunk=2)
+    next(it)
+    assert pool._free.qsize() == 1  # stream pins one replica...
+    it.close()
+    assert pool._free.qsize() == 2  # ...and abandonment releases it
+    list(pool.rollout_stream(pos, vel, m, 4, chunk=2))
+    assert pool._free.qsize() == 2  # exhaustion releases it too
+
+
+def test_pool_through_http_server(ckpt_paths):
+    import urllib.request
+
+    pool = build_replica_pool(*ckpt_paths, n_replicas=2)
+    httpd = serve(pool, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        health = json.loads(urllib.request.urlopen(
+            f"{url}/healthz", timeout=30).read())
+        assert health["model"]["replicas"] == 2
+        pos, vel, m = _system(4)
+        req = urllib.request.Request(
+            f"{url}/rollout", data=json.dumps({
+                "positions": pos.tolist(), "velocities": vel.tolist(),
+                "masses": m.tolist(), "n_steps": 3}).encode(),
+            headers={"Content-Type": "application/json"})
+        out = json.loads(urllib.request.urlopen(req, timeout=120).read())
+        assert np.asarray(out["positions"]).shape == (4, N, 3)
+    finally:
+        httpd.shutdown()
+
+
+def test_pool_validation(ckpt_paths):
+    with pytest.raises(ValueError):
+        build_replica_pool(*ckpt_paths, n_replicas=999)
+    with pytest.raises(ValueError):
+        build_replica_pool(*ckpt_paths, n_replicas=0)
