@@ -8,6 +8,8 @@ request latency is compile-free.
 
 Endpoints (JSON over HTTP, no external dependencies):
   GET  /healthz           -> {"status": "ok", "device": ..., "model": ...}
+  GET  /metrics           -> Prometheus text format: request counters by
+                             endpoint/status + latency histograms + uptime
   POST /rollout           -> single system rollout
         {"positions": (N,3), "velocities": (N,3), "masses": (N,),
          "n_steps": int, "trajectory": bool = true, "format": "json"|"npz"}
@@ -304,6 +306,75 @@ class RolloutService:
                     "times": np.concatenate(time_parts)}
 
 
+class Metrics:
+    """In-process request metrics, rendered in Prometheus text format at
+    ``GET /metrics`` (counters by endpoint/status + latency histograms by
+    endpoint). Thread-safe; one instance per server. No external deps —
+    the scrape format is plain text, so any Prometheus-compatible stack
+    can consume it as-is."""
+
+    # Seconds; chosen to bracket both CPU-smoke (~10 ms) and tunneled-TPU
+    # long-rollout (~10 s) request latencies.
+    BUCKETS = (0.005, 0.02, 0.05, 0.1, 0.25, 0.5, 1.0, 2.5, 5.0, 10.0, 30.0)
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self._requests = {}    # (endpoint, status) -> count
+        self._hist = {}        # endpoint -> [bucket counts..., +Inf]
+        self._sum = {}         # endpoint -> total seconds
+        self._started = time.time()
+
+    def observe(self, endpoint: str, status: int, seconds: float) -> None:
+        with self._lock:
+            key = (endpoint, int(status))
+            self._requests[key] = self._requests.get(key, 0) + 1
+            h = self._hist.setdefault(endpoint,
+                                      [0] * (len(self.BUCKETS) + 1))
+            for i, edge in enumerate(self.BUCKETS):
+                if seconds <= edge:
+                    h[i] += 1
+                    break
+            else:
+                h[-1] += 1
+            self._sum[endpoint] = self._sum.get(endpoint, 0.0) + seconds
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# HELP nbody_requests_total Requests by endpoint and "
+                "HTTP status.",
+                "# TYPE nbody_requests_total counter",
+            ]
+            for (endpoint, status), n in sorted(self._requests.items()):
+                lines.append(f'nbody_requests_total{{endpoint="{endpoint}",'
+                             f'status="{status}"}} {n}')
+            lines += [
+                "# HELP nbody_request_seconds Request latency.",
+                "# TYPE nbody_request_seconds histogram",
+            ]
+            for endpoint in sorted(self._hist):
+                h = self._hist[endpoint]
+                cum = 0
+                for edge, n in zip(self.BUCKETS, h):
+                    cum += n
+                    lines.append(
+                        f'nbody_request_seconds_bucket{{endpoint='
+                        f'"{endpoint}",le="{edge}"}} {cum}')
+                cum += h[-1]
+                lines.append(f'nbody_request_seconds_bucket{{endpoint='
+                             f'"{endpoint}",le="+Inf"}} {cum}')
+                lines.append(f'nbody_request_seconds_count{{endpoint='
+                             f'"{endpoint}"}} {cum}')
+                lines.append(f'nbody_request_seconds_sum{{endpoint='
+                             f'"{endpoint}"}} {self._sum[endpoint]:.6f}')
+            lines.append("# HELP nbody_uptime_seconds Seconds since server "
+                         "construction.")
+            lines.append("# TYPE nbody_uptime_seconds gauge")
+            lines.append(f"nbody_uptime_seconds "
+                         f"{time.time() - self._started:.1f}")
+            return "\n".join(lines) + "\n"
+
+
 def build_replica_pool(model_path: str, config_path: str,
                        n_replicas: Optional[int] = None,
                        quantize: Optional[str] = None) -> "ReplicaPool":
@@ -558,12 +629,35 @@ def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,
 
 
 def make_handler(service: RolloutService,
-                 batcher: Optional[MicroBatcher] = None):
+                 batcher: Optional[MicroBatcher] = None,
+                 metrics: Optional[Metrics] = None):
+    known_paths = ("/rollout", "/rollout_batch", "/simulate", "/healthz")
+
     class Handler(BaseHTTPRequestHandler):
+        _status = 0  # last response code, recorded by the _reply helpers
+
         def log_message(self, fmt, *args):  # quiet by default
             pass
 
+        def _observed(self, inner) -> None:
+            """Run a request handler, recording (endpoint, status, wall)
+            into the metrics registry. Unknown paths collapse into one
+            label so scrape cardinality stays bounded."""
+            if metrics is None or self.path == "/metrics":
+                inner()
+                return
+            t0 = time.perf_counter()
+            self._status = 0
+            try:
+                inner()
+            finally:
+                endpoint = (self.path if self.path in known_paths
+                            else "<other>")
+                metrics.observe(endpoint, self._status,
+                                time.perf_counter() - t0)
+
         def _reply(self, code: int, obj: dict) -> None:
+            self._status = code
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -579,6 +673,7 @@ def make_handler(service: RolloutService,
             frames while later chunks are still being computed. The caller
             computes the FIRST chunk before invoking this, so input errors
             still produce a proper HTTP status code."""
+            self._status = 200
             self.send_response(200)
             self.send_header("Content-Type", "application/x-ndjson")
             self.send_header("Connection", "close")
@@ -613,6 +708,7 @@ def make_handler(service: RolloutService,
             np.savez(buf, **{k: np.asarray(v, np.float32)
                              for k, v in arrays.items()})
             body = buf.getvalue()
+            self._status = 200
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")
             self.send_header("Content-Length", str(len(body)))
@@ -620,14 +716,29 @@ def make_handler(service: RolloutService,
             self.wfile.write(body)
 
         def do_GET(self):
+            self._observed(self._do_get)
+
+        def _do_get(self):
             if self.path == "/healthz":
                 self._reply(200, {"status": "ok",
                                   "device": service.device,
                                   "model": service.model_info})
+            elif self.path == "/metrics" and metrics is not None:
+                body = metrics.render().encode()
+                self._status = 200
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            self._observed(self._do_post)
+
+        def _do_post(self):
             if self.path not in ("/rollout", "/rollout_batch", "/simulate"):
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
@@ -736,5 +847,12 @@ def serve(service: RolloutService, host: str = "127.0.0.1",
     """Start the HTTP server (returns it; call ``serve_forever`` to block).
 
     Pass a :class:`MicroBatcher` to coalesce concurrent ``/rollout``
-    requests into shared device programs (recommended in production)."""
-    return ThreadingHTTPServer((host, port), make_handler(service, batcher))
+    requests into shared device programs (recommended in production).
+
+    Every server carries a :class:`Metrics` registry (``httpd.metrics``)
+    scrapeable at ``GET /metrics`` in Prometheus text format."""
+    metrics = Metrics()
+    httpd = ThreadingHTTPServer((host, port),
+                                make_handler(service, batcher, metrics))
+    httpd.metrics = metrics
+    return httpd

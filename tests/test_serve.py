@@ -855,3 +855,56 @@ def test_numeric_params_reject_json_booleans(server):
     # integral float is tolerated (JSON clients may send 3.0)
     out = post(f"{server}/rollout", {**base, "n_steps": 3.0})
     assert np.asarray(out["positions"]).shape == (4, N, 3)
+
+
+# -- /metrics (observability) -------------------------------------------------
+
+def test_metrics_endpoint(server):
+    """GET /metrics renders Prometheus text: request counters by
+    endpoint/status, latency histograms with monotone cumulative buckets,
+    and uptime. Counts reflect the traffic this test generates."""
+    rng = np.random.RandomState(40)
+    payload = {"positions": rng.randn(N, 3).tolist(),
+               "velocities": rng.randn(N, 3).tolist(),
+               "masses": rng.uniform(1e10, 1e12, N).tolist(), "n_steps": 2}
+
+    def scrape():
+        with urllib.request.urlopen(f"{server}/metrics", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/plain")
+            return r.read().decode()
+
+    def count(text, endpoint, status):
+        needle = (f'nbody_requests_total{{endpoint="{endpoint}",'
+                  f'status="{status}"}} ')
+        for line in text.splitlines():
+            if line.startswith(needle):
+                return int(line.split()[-1])
+        return 0
+
+    before = scrape()
+    n0_ok = count(before, "/rollout", 200)
+    n0_bad = count(before, "/rollout", 400)
+
+    post(f"{server}/rollout", payload)
+    post(f"{server}/rollout", payload)
+    with pytest.raises(urllib.error.HTTPError):
+        post(f"{server}/rollout", {**payload, "n_steps": 0})
+
+    after = scrape()
+    assert count(after, "/rollout", 200) == n0_ok + 2
+    assert count(after, "/rollout", 400) == n0_bad + 1
+
+    # histogram: cumulative buckets are monotone and +Inf == count
+    import re
+    buckets = [float(m.group(2)) for m in re.finditer(
+        r'nbody_request_seconds_bucket\{endpoint="/rollout",le="([^"]+)"\} '
+        r'(\d+)', after)]
+    assert buckets == sorted(buckets)
+    m = re.search(r'nbody_request_seconds_count\{endpoint="/rollout"\} '
+                  r'(\d+)', after)
+    assert int(m.group(1)) == int(buckets[-1])
+    assert "nbody_uptime_seconds" in after
+    # unknown paths collapse to one bounded label
+    with pytest.raises(urllib.error.HTTPError):
+        post(f"{server}/whatever-path", {})
+    assert 'endpoint="<other>",status="404"' in scrape()
