@@ -542,48 +542,60 @@ class MicroBatcher:
                 if len(self._pending.get(key, ())) >= self.max_batch:
                     break
             time.sleep(0.0005)
-        # Drain in chunks of at most max_batch: requests that slip in
-        # between the wait-loop break and the pop (or beyond the cap) run
-        # as additional bucketed batches instead of one oversized batch
-        # with an unwarmed, never-compiled shape.
-        while True:
-            with self._lock:
-                queue = self._pending.get(key, [])
-                jobs = queue[:self.max_batch]
-                del queue[:self.max_batch]
-                if not queue:
-                    # Drop the drained key so a long-lived server doesn't
-                    # accumulate one empty list per request shape ever seen;
-                    # the next arrival's setdefault recreates it.
-                    self._pending.pop(key, None)
-            if not jobs:
-                return
-            # Pad to the next bucket by repeating the last system; slice
-            # off the padding after. One compile per bucket, not per batch
-            # size. The bucket lookup cannot fail: len(jobs) <= max_batch
-            # and max_batch is always a bucket.
-            bucket = next(b for b in self.buckets if b >= len(jobs))
-            pad = bucket - len(jobs)
-            take = jobs + [jobs[-1]] * pad
-            try:
-                # If nobody in this batch wants the full trajectory, the
-                # host-side conversion of (B, steps+1, N, 3) is skipped too.
-                want_traj = any(j.trajectory for j in jobs)
-                out = self.service.rollout_batch(
-                    np.stack([j.pos for j in take]),
-                    np.stack([j.vel for j in take]),
-                    np.stack([j.masses for j in take]), n_steps,
-                    trajectory=want_traj)
-                for i, j in enumerate(jobs):
-                    sel = (slice(None) if j.trajectory or not want_traj
-                           else -1)
-                    j.result = {"positions": out["positions"][i][sel],
-                                "velocities": out["velocities"][i][sel]}
-            except Exception as e:  # surface to every waiter
-                for j in jobs:
-                    j.error = e
+        # Drain in chunks of at most max_batch: requests beyond the cap
+        # run as additional bucketed batches instead of one oversized batch
+        # with an unwarmed, never-compiled shape. The key is popped whole
+        # so a long-lived server doesn't accumulate one empty list per
+        # request shape ever seen; arrivals after the pop elect their own
+        # leader via setdefault.
+        with self._lock:
+            queue = self._pending.pop(key, [])
+        chunks = [queue[i:i + self.max_batch]
+                  for i in range(0, len(queue), self.max_batch)]
+        if not chunks:
+            return
+        if len(chunks) == 1:
+            self._dispatch(chunks[0], n_steps)
+            return
+        # Overflow chunks dispatch CONCURRENTLY: on a single device they
+        # serialize harmlessly on the service lock; on a ReplicaPool each
+        # chunk acquires its own replica, so a burst of 4x max_batch jobs
+        # saturates 4 chips instead of queueing behind one.
+        threads = [threading.Thread(target=self._dispatch,
+                                    args=(chunk, n_steps))
+                   for chunk in chunks]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    def _dispatch(self, jobs, n_steps: int) -> None:
+        # Pad to the next bucket by repeating the last system; slice
+        # off the padding after. One compile per bucket, not per batch
+        # size. The bucket lookup cannot fail: len(jobs) <= max_batch
+        # and max_batch is always a bucket.
+        bucket = next(b for b in self.buckets if b >= len(jobs))
+        pad = bucket - len(jobs)
+        take = jobs + [jobs[-1]] * pad
+        try:
+            # If nobody in this batch wants the full trajectory, the
+            # host-side conversion of (B, steps+1, N, 3) is skipped too.
+            want_traj = any(j.trajectory for j in jobs)
+            out = self.service.rollout_batch(
+                np.stack([j.pos for j in take]),
+                np.stack([j.vel for j in take]),
+                np.stack([j.masses for j in take]), n_steps,
+                trajectory=want_traj)
+            for i, j in enumerate(jobs):
+                sel = (slice(None) if j.trajectory or not want_traj
+                       else -1)
+                j.result = {"positions": out["positions"][i][sel],
+                            "velocities": out["velocities"][i][sel]}
+        except Exception as e:  # surface to every waiter
             for j in jobs:
-                j.event.set()
+                j.error = e
+        for j in jobs:
+            j.event.set()
 
 
 def _require_int(val, name: str) -> int:

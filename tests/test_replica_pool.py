@@ -169,3 +169,59 @@ def test_pool_validation(ckpt_paths):
         build_replica_pool(*ckpt_paths, n_replicas=999)
     with pytest.raises(ValueError):
         build_replica_pool(*ckpt_paths, n_replicas=0)
+
+
+def test_micro_batcher_overflow_fans_out_across_pool():
+    """Overflow chunks (more jobs than max_batch) dispatch concurrently:
+    over a ReplicaPool each chunk acquires its own replica, so a burst
+    saturates the pool instead of queueing behind one device."""
+    from nbody_gnn_hpc_tpu.serve import MicroBatcher, ReplicaPool
+
+    class _SlowStub:
+        STREAM_CHUNK = 64
+
+        def __init__(self, name):
+            self.device = name
+            self.model_info = {"stub": name}
+            self.calls = []
+
+        def rollout_batch(self, pos, vel, masses, n_steps,
+                          trajectory=True):
+            self.calls.append(time.time())
+            time.sleep(0.3)
+            return {"positions": np.stack(
+                        [pos + t for t in range(n_steps + 1)], 1),
+                    "velocities": np.stack(
+                        [vel] * (n_steps + 1), 1)}
+
+    stubs = [_SlowStub("cpu:0"), _SlowStub("cpu:1")]
+    pool = ReplicaPool(stubs)
+    batcher = MicroBatcher(pool, max_batch=2, max_wait_s=0.25)
+
+    rng = np.random.RandomState(0)
+    jobs = [(rng.randn(6, 3).astype(np.float32),
+             rng.randn(6, 3).astype(np.float32),
+             rng.uniform(1.0, 2.0, 6).astype(np.float32))
+            for _ in range(4)]
+    results = [None] * 4
+    barrier = threading.Barrier(4)
+
+    def work(i):
+        barrier.wait()
+        results[i] = batcher.rollout(*jobs[i], 3)
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(4)]
+    t0 = time.time()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+    wall = time.time() - t0
+
+    # 4 jobs -> 2 chunks of 2; both replicas used, concurrently (one
+    # sequential drain would be >= 0.6 s of stub time + the join wait)
+    assert len(stubs[0].calls) == 1 and len(stubs[1].calls) == 1, \
+        (stubs[0].calls, stubs[1].calls)
+    assert wall < 0.25 + 0.3 + 0.25, wall
+    for job, res in zip(jobs, results):
+        np.testing.assert_array_equal(res["positions"][-1], job[0] + 3)
