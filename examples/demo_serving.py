@@ -170,24 +170,22 @@ def main():
           f"npz trajectory body {len(npz_bytes):,} B vs JSON "
           f"~{json_bytes:,} B")
 
-    # Streaming: the trajectory arrives as NDJSON chunks while later chunks
-    # are still computing — first frames land after ONE chunk, the device
-    # lock is released between chunks, and any n_steps reuses one compiled
-    # chunk program.
-    req = urllib.request.Request(
-        f"{base}/rollout",
-        data=json.dumps({**payload, "stream": True, "chunk": 8}).encode(),
-        headers={"Content-Type": "application/json"})
+    # Streaming via the typed client: the trajectory arrives as NDJSON
+    # chunks while later chunks are still computing — first frames land
+    # after ONE chunk, the device lock is released between chunks, and any
+    # n_steps reuses one compiled chunk program.
+    from nbody_gnn_hpc_tpu.client import RolloutClient
+
+    client = RolloutClient(base)
     t0 = time.time()
     t_first, frames = None, 0
-    with urllib.request.urlopen(req, timeout=300) as resp:
-        for raw in resp:
-            obj = json.loads(raw)
-            if obj.get("done"):
-                break
-            if t_first is None:
-                t_first = time.time() - t0
-            frames += len(obj["positions"])
+    for chunk in client.rollout_stream(
+            np.asarray(payload["positions"]),
+            np.asarray(payload["velocities"]),
+            np.asarray(payload["masses"]), args.steps, chunk=8):
+        if t_first is None:
+            t_first = time.time() - t0
+        frames += len(chunk["positions"])
     print(f"streamed: {frames} frames, first chunk after "
           f"{t_first * 1e3:.1f} ms, done in {(time.time() - t0) * 1e3:.1f} ms")
 
