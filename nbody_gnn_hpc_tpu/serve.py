@@ -642,8 +642,16 @@ def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,
 
 def make_handler(service: RolloutService,
                  batcher: Optional[MicroBatcher] = None,
-                 metrics: Optional[Metrics] = None):
+                 metrics: Optional[Metrics] = None,
+                 max_inflight: Optional[int] = None):
     known_paths = ("/rollout", "/rollout_batch", "/simulate", "/healthz")
+    # Backpressure: ThreadingHTTPServer spawns one thread per connection,
+    # so without a cap a burst piles unbounded threads (each holding its
+    # decoded request arrays) onto the device lock. Beyond max_inflight
+    # concurrent compute requests, shed load with 503 + Retry-After so
+    # clients back off instead of queueing into timeout. /healthz and
+    # /metrics never shed — probes must answer exactly when overloaded.
+    gate = threading.Semaphore(max_inflight) if max_inflight else None
 
     class Handler(BaseHTTPRequestHandler):
         _status = 0  # last response code, recorded by the _reply helpers
@@ -748,7 +756,26 @@ def make_handler(service: RolloutService,
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            self._observed(self._do_post)
+            if gate is not None and not gate.acquire(blocking=False):
+                def shed():
+                    self._status = 503
+                    body = json.dumps({"error": "server busy: max_inflight "
+                                       f"({max_inflight}) compute requests "
+                                       "in flight"}).encode()
+                    self.send_response(503)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Retry-After", "1")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+
+                self._observed(shed)
+                return
+            try:
+                self._observed(self._do_post)
+            finally:
+                if gate is not None:
+                    gate.release()
 
         def _do_post(self):
             if self.path not in ("/rollout", "/rollout_batch", "/simulate"):
@@ -855,16 +882,24 @@ def make_handler(service: RolloutService,
 
 def serve(service: RolloutService, host: str = "127.0.0.1",
           port: int = 8742,
-          batcher: Optional[MicroBatcher] = None) -> ThreadingHTTPServer:
+          batcher: Optional[MicroBatcher] = None,
+          max_inflight: Optional[int] = None) -> ThreadingHTTPServer:
     """Start the HTTP server (returns it; call ``serve_forever`` to block).
 
     Pass a :class:`MicroBatcher` to coalesce concurrent ``/rollout``
     requests into shared device programs (recommended in production).
 
+    ``max_inflight`` bounds concurrent compute requests; excess POSTs are
+    shed with 503 + Retry-After instead of queueing into client timeouts
+    (health/metrics probes always answer). Size it to a few times the
+    replica count (or the micro-batch cap) so the shed point sits past the
+    device's useful concurrency.
+
     Every server carries a :class:`Metrics` registry (``httpd.metrics``)
     scrapeable at ``GET /metrics`` in Prometheus text format."""
     metrics = Metrics()
-    httpd = ThreadingHTTPServer((host, port),
-                                make_handler(service, batcher, metrics))
+    httpd = ThreadingHTTPServer(
+        (host, port),
+        make_handler(service, batcher, metrics, max_inflight=max_inflight))
     httpd.metrics = metrics
     return httpd

@@ -47,6 +47,10 @@ def main():
     parser.add_argument("--micro-batch-wait-ms", type=float, default=5.0,
                         help="How long a micro-batch leader waits for "
                              "followers to join")
+    parser.add_argument("--max-inflight", type=int, default=0, metavar="M",
+                        help="Shed compute requests beyond M in flight with "
+                             "503 + Retry-After (0 = unbounded); health/"
+                             "metrics probes always answer")
     args = parser.parse_args()
 
     from nbody_gnn_hpc_tpu.serve import (MicroBatcher, build_replica_pool,
@@ -82,7 +86,8 @@ def main():
             print(f"Warming micro-batch buckets {batcher.buckets}...")
             batcher.warmup(args.warm_particles, args.warm_steps)
 
-    httpd = serve(service, host=args.host, port=args.port, batcher=batcher)
+    httpd = serve(service, host=args.host, port=args.port, batcher=batcher,
+                  max_inflight=args.max_inflight or None)
     print(f"Serving on http://{args.host}:{args.port} "
           f"(endpoints: /healthz, /rollout, /rollout_batch, /simulate)")
 

@@ -908,3 +908,72 @@ def test_metrics_endpoint(server):
     with pytest.raises(urllib.error.HTTPError):
         post(f"{server}/whatever-path", {})
     assert 'endpoint="<other>",status="404"' in scrape()
+
+
+# -- backpressure (max_inflight) ----------------------------------------------
+
+def test_max_inflight_sheds_excess_with_503():
+    """Beyond max_inflight concurrent compute requests, the server sheds
+    with 503 + Retry-After; health and metrics probes still answer during
+    saturation; shed requests are visible in /metrics."""
+    import time
+
+    class _SlowService:
+        STREAM_CHUNK = 64
+        device = "stub"
+        model_info = {"stub": True}
+
+        def __init__(self):
+            self.started = threading.Event()
+            self.release = threading.Event()
+
+        def rollout(self, pos, vel, masses, n_steps, trajectory=True):
+            self.started.set()
+            assert self.release.wait(30)
+            return {"positions": pos[None], "velocities": vel[None]}
+
+    svc = _SlowService()
+    httpd = serve(svc, host="127.0.0.1", port=0, max_inflight=1)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    payload = {"positions": [[0.0, 0.0, 0.0]] * 4,
+               "velocities": [[0.0, 0.0, 0.0]] * 4,
+               "masses": [1.0] * 4, "n_steps": 2}
+    try:
+        slow_result = {}
+
+        def slow_client():
+            try:
+                slow_result["out"] = post(f"{url}/rollout", payload)
+            except Exception as e:  # noqa: BLE001
+                slow_result["err"] = e
+
+        t = threading.Thread(target=slow_client)
+        t.start()
+        assert svc.started.wait(30)  # first request is inside the service
+
+        # saturated: the second compute request sheds immediately
+        t0 = time.time()
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            post(f"{url}/rollout", payload)
+        assert exc.value.code == 503
+        assert exc.value.headers["Retry-After"] == "1"
+        assert "max_inflight" in exc.value.read().decode()
+        assert time.time() - t0 < 5  # shed, not queued
+
+        # probes answer while saturated
+        with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+            assert json.loads(r.read())["status"] == "ok"
+        with urllib.request.urlopen(f"{url}/metrics", timeout=10) as r:
+            text = r.read().decode()
+        assert 'endpoint="/rollout",status="503"' in text
+
+        svc.release.set()
+        t.join(timeout=30)
+        assert "out" in slow_result, slow_result
+        # capacity freed: a fresh request succeeds
+        out = post(f"{url}/rollout", payload)
+        assert np.asarray(out["positions"]).shape[0] == 1
+    finally:
+        svc.release.set()
+        httpd.shutdown()
