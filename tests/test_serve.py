@@ -447,7 +447,7 @@ def test_malformed_rollout_bodies_get_400(server, body):
 
 def test_server_survives_fuzz_barrage(server):
     """Every malformed body against every endpoint, then a real request."""
-    for path in ("/rollout", "/rollout_batch"):
+    for path in ("/rollout", "/rollout_batch", "/simulate"):
         for body in MALFORMED_BODIES:
             code = post_raw(f"{server}{path}", body)
             assert code in (400, 404), (path, body, code)
