@@ -55,27 +55,26 @@ def _post(url: str, payload: dict, timeout: float = 600.0):
         return json.loads(body)
 
 
-def _post_stream(url: str, payload: dict, timeout: float = 600.0):
-    """Streamed ``/rollout``: returns (first_chunk_s, total_s, n_frames).
-    first_chunk_s is the streaming mode's headline — the client starts
-    consuming frames after ONE chunk instead of after the whole rollout."""
-    req = urllib.request.Request(
-        url, data=json.dumps(payload).encode(),
-        headers={"Content-Type": "application/json"})
+def _post_stream(base_url: str, payload: dict, timeout: float = 600.0):
+    """Streamed ``/rollout`` via the canonical RolloutClient parser (one
+    wire-protocol implementation to keep in sync): returns
+    (first_chunk_s, total_s, n_frames). first_chunk_s is the streaming
+    mode's headline — the client starts consuming frames after ONE chunk
+    instead of after the whole rollout."""
+    from nbody_gnn_hpc_tpu.client import RolloutClient
+
+    client = RolloutClient(base_url, timeout=timeout)
     t0 = time.perf_counter()
     first = None
     frames = 0
-    with urllib.request.urlopen(req, timeout=timeout) as resp:
-        for raw in resp:
-            obj = json.loads(raw)
-            if "error" in obj:
-                raise RuntimeError(f"mid-stream error: {obj['error']}")
-            if obj.get("done"):
-                return first, time.perf_counter() - t0, frames
-            if first is None:
-                first = time.perf_counter() - t0
-            frames += len(obj["positions"])
-    raise RuntimeError("stream ended without the done terminator")
+    for chunk in client.rollout_stream(payload["positions"],
+                                       payload["velocities"],
+                                       payload["masses"],
+                                       payload["n_steps"]):
+        if first is None:
+            first = time.perf_counter() - t0
+        frames += len(chunk["positions"])
+    return first, time.perf_counter() - t0, frames
 
 
 def run_load(base_url: str, n_particles: int, n_steps: int,
@@ -110,8 +109,7 @@ def run_load(base_url: str, n_particles: int, n_steps: int,
             t0 = time.perf_counter()
             try:
                 if stream:
-                    fc, total, frames = _post_stream(f"{base_url}/rollout",
-                                                     payloads[i])
+                    fc, total, frames = _post_stream(base_url, payloads[i])
                     assert frames == want_frames
                     first_chunk[i].append(fc)
                     latencies[i].append(total)

@@ -124,9 +124,11 @@ def main():
         except Exception as e:  # surface per-client failures in the report
             results[i] = e
 
-    # Warm the bucketed shapes once so the demo's timing isn't compile time.
+    # Warm the bucketed shapes once so the demo's timing isn't compile time
+    # (including the stream-chunk program the streaming section runs).
     print("Warming rollout program...")
     batcher.warmup(n, args.steps)
+    service.warmup(n, service.STREAM_CHUNK, trajectories=(True,))
 
     print(f"Firing {args.clients} concurrent /rollout requests...")
     results = [None] * args.clients
@@ -182,7 +184,7 @@ def main():
     for chunk in client.rollout_stream(
             np.asarray(payload["positions"]),
             np.asarray(payload["velocities"]),
-            np.asarray(payload["masses"]), args.steps, chunk=8):
+            np.asarray(payload["masses"]), args.steps):  # warmed chunk size
         if t_first is None:
             t_first = time.time() - t0
         frames += len(chunk["positions"])

@@ -97,6 +97,7 @@ class RolloutService:
             # checkpoint already carrying quantized weights wins.
             self.predictor.quantize(quantize)
         self._lock = threading.Lock()  # one device; serialize dispatches
+        self._exec_device = None  # set by build_replica_pool (device pin)
         self.model_info = {
             "hidden_dim": model.hidden_dim, "n_layers": model.n_layers,
             "k_neighbors": k_neighbors, "checkpoint": str(checkpoint_path),
@@ -209,48 +210,104 @@ class RolloutService:
     def simulate_stream(self, positions, velocities, masses, n_steps: int,
                         dt: float = 0.001, save_interval: int = 1):
         """Exact-physics trajectory as a generator of chunks (the streaming
-        counterpart of ``simulate(trajectory=True)``; same <=SIM_CHUNK-step
-        device programs, but each chunk is yielded as soon as it is read
-        back and the device lock is released between chunks). Because
-        nothing is buffered, streamed simulations are exempt from the
-        handler's saved-frame cap.
+        counterpart of ``simulate(trajectory=True)``; same bounded device
+        programs, but each chunk is yielded as soon as it is read back).
+        Because nothing is buffered, streamed simulations are exempt from
+        the handler's saved-frame cap.
 
         Yields ``{"frame_start": int, "positions", "velocities", "times"}``
         in saved-frame index space; chunks concatenate to exactly the
         buffered trajectory-mode response."""
-        from nbody_gnn_hpc_tpu.sim import accelerations
-        from nbody_gnn_hpc_tpu.sim.integrator import run_trajectory
-        from nbody_gnn_hpc_tpu.sim.state import make_state
-
-        n_steps = int(n_steps)
-        save_interval = int(save_interval)
-        state = make_state(np.asarray(positions, np.float32),
-                           np.asarray(velocities, np.float32),
-                           np.asarray(masses, np.float32))
-        state = state._replace(
-            accelerations=accelerations(state.positions, state.masses))
-        chunk = max(save_interval,
-                    (self.SIM_CHUNK // save_interval) * save_interval)
-        done = 0
-        while done < n_steps:
-            todo = min(chunk, n_steps - done)
-            with self._lock:
-                traj = run_trajectory(state, dt, todo,
-                                      save_interval=save_interval)
-            state = traj.final
-            skip = 0 if done == 0 else 1  # drop duplicated chunk head
-            # chunk is a multiple of save_interval, so completed chunks
-            # land exactly on saved-frame boundaries.
-            yield {"frame_start": done // save_interval + skip,
-                   "positions": np.asarray(traj.positions[skip:]),
-                   "velocities": np.asarray(traj.velocities[skip:]),
-                   "times": np.asarray(traj.times[skip:])}
-            done += todo
+        state = self._prepare_sim_state(positions, velocities, masses)
+        for start, ps, vs, ts in self._sim_frames(state, dt, int(n_steps),
+                                                  int(save_interval)):
+            yield {"frame_start": start, "positions": ps,
+                   "velocities": vs, "times": ts}
 
     # Steps per device program for /simulate: one compile covers every
     # full chunk regardless of the client's n_steps, and each program
     # stays far below the backend's long-program kill threshold.
     SIM_CHUNK = 200
+
+    def _prepare_sim_state(self, positions, velocities, masses):
+        from nbody_gnn_hpc_tpu.sim import accelerations
+        from nbody_gnn_hpc_tpu.sim.state import make_state
+
+        state = make_state(np.asarray(positions, np.float32),
+                           np.asarray(velocities, np.float32),
+                           np.asarray(masses, np.float32))
+        state = state._replace(
+            accelerations=accelerations(state.positions, state.masses))
+        if self._exec_device is not None:
+            # Replica-pool pinning: committing the state routes every
+            # subsequent /simulate program to this replica's device (the
+            # GNN paths are pinned through the committed params instead).
+            import jax
+            state = jax.device_put(state, self._exec_device)
+        return state
+
+    def _advance(self, state, dt, steps: int):
+        """Advance without saving, <=SIM_CHUNK steps per device program,
+        the lock held per program (at most two compiled shapes: SIM_CHUNK
+        and one remainder)."""
+        from nbody_gnn_hpc_tpu.sim.integrator import rollout_steps
+
+        done = 0
+        while done < steps:
+            todo = min(self.SIM_CHUNK, steps - done)
+            with self._lock:
+                state = rollout_steps(state, dt, todo)
+            done += todo
+        return state
+
+    def _sim_frames(self, state, dt, n_steps: int, save_interval: int):
+        """Saved-frame chunks ``(frame_start, positions, velocities,
+        times)`` for a trajectory run. EVERY device program is bounded by
+        ~SIM_CHUNK steps and the lock is released between programs, in
+        both regimes:
+
+        - ``save_interval <= SIM_CHUNK``: run_trajectory chunks aligned to
+          the save cadence (multiple saves per program).
+        - ``save_interval > SIM_CHUNK``: one run_trajectory segment would
+          be a single save_interval-step program — minutes-long programs
+          get killed by this backend (CLAUDE.md) and stall all traffic
+          behind the lock. Instead, fast-forward each interval in
+          <=SIM_CHUNK-step no-save programs and capture the state at every
+          save boundary (the same leapfrog step sequence, so frames match
+          run_trajectory exactly). Trailing ``n_steps % save_interval``
+          steps are integrated-but-unsaved in the reference semantics
+          (nbody.py:237-241) and unobservable in trajectory output, so
+          they are skipped.
+        """
+        from nbody_gnn_hpc_tpu.sim.integrator import run_trajectory
+
+        if save_interval <= self.SIM_CHUNK:
+            # Chunks must be multiples of save_interval so the global save
+            # cadence is preserved across boundaries.
+            chunk = max(save_interval,
+                        (self.SIM_CHUNK // save_interval) * save_interval)
+            done = 0
+            while done < n_steps:
+                todo = min(chunk, n_steps - done)
+                with self._lock:
+                    traj = run_trajectory(state, dt, todo,
+                                          save_interval=save_interval)
+                state = traj.final
+                skip = 0 if done == 0 else 1  # drop duplicated chunk head
+                yield (done // save_interval + skip,
+                       np.asarray(traj.positions[skip:]),
+                       np.asarray(traj.velocities[skip:]),
+                       np.asarray(traj.times[skip:]))
+                done += todo
+            return
+        yield (0, np.asarray(state.positions[None]),
+               np.asarray(state.velocities[None]),
+               np.asarray(state.time[None]))
+        for k in range(n_steps // save_interval):
+            state = self._advance(state, dt, save_interval)
+            yield (k + 1, np.asarray(state.positions[None]),
+                   np.asarray(state.velocities[None]),
+                   np.asarray(state.time[None]))
 
     def simulate(self, positions, velocities, masses, n_steps: int,
                  dt: float = 0.001, trajectory: bool = False,
@@ -259,51 +316,27 @@ class RolloutService:
         service, beyond the reference's file-based workflow).  Returns the
         final state, or the saved trajectory when ``trajectory`` is set.
 
-        The run is chunked into <=SIM_CHUNK-step programs (aligned to
-        ``save_interval``), so arbitrary client n_steps reuse one compiled
-        program per chunk shape instead of compiling a fresh multi-minute
-        scan under the device lock."""
-        from nbody_gnn_hpc_tpu.sim import accelerations
-        from nbody_gnn_hpc_tpu.sim.integrator import (rollout_steps,
-                                                      run_trajectory)
-        from nbody_gnn_hpc_tpu.sim.state import make_state
-
+        The run is chunked into ~SIM_CHUNK-step programs, so arbitrary
+        client n_steps reuse one compiled program per chunk shape instead
+        of compiling a fresh multi-minute scan, and the device lock is
+        released between programs so concurrent requests interleave with a
+        long simulation."""
         n_steps = int(n_steps)
         save_interval = int(save_interval)
-        state = make_state(np.asarray(positions, np.float32),
-                           np.asarray(velocities, np.float32),
-                           np.asarray(masses, np.float32))
-        state = state._replace(
-            accelerations=accelerations(state.positions, state.masses))
-        # Chunks must be multiples of save_interval so the global save
-        # cadence is preserved across boundaries (same rule as
-        # NBodySimulator.run_trajectory's verbose chunking).
-        chunk = max(save_interval,
-                    (self.SIM_CHUNK // save_interval) * save_interval)
-        with self._lock:
-            if not trajectory:
-                done = 0
-                while done < n_steps:
-                    todo = min(chunk, n_steps - done)
-                    state = rollout_steps(state, dt, todo)
-                    done += todo
-                return {"positions": np.asarray(state.positions),
-                        "velocities": np.asarray(state.velocities)}
-            pos_parts, vel_parts, time_parts = [], [], []
-            done = 0
-            while done < n_steps:
-                todo = min(chunk, n_steps - done)
-                traj = run_trajectory(state, dt, todo,
-                                      save_interval=save_interval)
-                state = traj.final
-                skip = 0 if done == 0 else 1  # drop duplicated chunk head
-                pos_parts.append(np.asarray(traj.positions[skip:]))
-                vel_parts.append(np.asarray(traj.velocities[skip:]))
-                time_parts.append(np.asarray(traj.times[skip:]))
-                done += todo
-            return {"positions": np.concatenate(pos_parts),
-                    "velocities": np.concatenate(vel_parts),
-                    "times": np.concatenate(time_parts)}
+        state = self._prepare_sim_state(positions, velocities, masses)
+        if not trajectory:
+            state = self._advance(state, dt, n_steps)
+            return {"positions": np.asarray(state.positions),
+                    "velocities": np.asarray(state.velocities)}
+        pos_parts, vel_parts, time_parts = [], [], []
+        for _start, ps, vs, ts in self._sim_frames(state, dt, n_steps,
+                                                   save_interval):
+            pos_parts.append(ps)
+            vel_parts.append(vs)
+            time_parts.append(ts)
+        return {"positions": np.concatenate(pos_parts),
+                "velocities": np.concatenate(vel_parts),
+                "times": np.concatenate(time_parts)}
 
 
 class Metrics:
@@ -395,6 +428,7 @@ def build_replica_pool(model_path: str, config_path: str,
     for dev in devices[:n]:
         svc = build_service(model_path, config_path, quantize=quantize)
         svc.predictor.params = jax.device_put(svc.predictor.params, dev)
+        svc._exec_device = dev  # pins the exact-physics /simulate path too
         svc.device = str(dev)
         services.append(svc)
     return ReplicaPool(services)
@@ -598,19 +632,29 @@ class MicroBatcher:
             j.event.set()
 
 
+def _short_repr(val, limit: int = 80) -> str:
+    """Bounded repr for error messages: reflecting a multi-MB payload
+    field back into the 400 body (and logs) is a request-amplification
+    vector."""
+    r = repr(val)
+    return r if len(r) <= limit else r[:limit] + f"... ({len(r)} chars)"
+
+
 def _require_int(val, name: str) -> int:
     """A JSON integer (an integral float is tolerated; a bool — which IS an
     int in Python — or a string is a client bug and must be a 400, not a
     silent coercion like int(True) == 1)."""
     if isinstance(val, bool) or not isinstance(val, (int, float)) \
             or (isinstance(val, float) and not val.is_integer()):
-        raise ValueError(f"{name} must be a JSON integer, got {val!r}")
+        raise ValueError(f"{name} must be a JSON integer, "
+                         f"got {_short_repr(val)}")
     return int(val)
 
 
 def _require_number(val, name: str) -> float:
     if isinstance(val, bool) or not isinstance(val, (int, float)):
-        raise ValueError(f"{name} must be a JSON number, got {val!r}")
+        raise ValueError(f"{name} must be a JSON number, "
+                         f"got {_short_repr(val)}")
     return float(val)
 
 
@@ -640,6 +684,29 @@ def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,
     return pos, vel, masses, n_steps
 
 
+class _Inflight:
+    """Thread-safe count of requests currently being handled — the signal
+    a graceful shutdown drains on (daemon handler threads die with the
+    process, so the supervisor loop must know when responses finished)."""
+
+    def __init__(self):
+        self._n = 0
+        self._lock = threading.Lock()
+
+    def __enter__(self):
+        with self._lock:
+            self._n += 1
+        return self
+
+    def __exit__(self, *exc):
+        with self._lock:
+            self._n -= 1
+
+    def count(self) -> int:
+        with self._lock:
+            return self._n
+
+
 def make_handler(service: RolloutService,
                  batcher: Optional[MicroBatcher] = None,
                  metrics: Optional[Metrics] = None,
@@ -652,6 +719,7 @@ def make_handler(service: RolloutService,
     # clients back off instead of queueing into timeout. /healthz and
     # /metrics never shed — probes must answer exactly when overloaded.
     gate = threading.Semaphore(max_inflight) if max_inflight else None
+    inflight = _Inflight()  # exposed via serve() for graceful drain
 
     class Handler(BaseHTTPRequestHandler):
         _status = 0  # last response code, recorded by the _reply helpers
@@ -707,10 +775,16 @@ def make_handler(service: RolloutService,
                     self.wfile.flush()
                 self.wfile.write(b'{"done": true}\n')
             except (BrokenPipeError, ConnectionResetError):
-                pass  # client went away; stop computing further chunks
+                # Client went away; stop computing further chunks. 499 is
+                # the client-closed-request convention — the wire said 200
+                # but the request did not complete.
+                self._status = 499
             except Exception as e:
                 # Headers are already out — surface the error in-band as
-                # the final line (clients see no "done" terminator).
+                # the final line (clients see no "done" terminator), and
+                # record the request as failed in metrics despite the 200
+                # status line.
+                self._status = 500
                 try:
                     self.wfile.write(json.dumps(
                         {"error": f"{type(e).__name__}: {e}"}).encode()
@@ -756,8 +830,18 @@ def make_handler(service: RolloutService,
                 self._reply(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            with inflight:
+                self._gated_post()
+
+        def _gated_post(self):
             if gate is not None and not gate.acquire(blocking=False):
                 def shed():
+                    # Drain the request body first: closing the socket with
+                    # unread receive data triggers a TCP RST that can
+                    # discard the buffered 503 client-side — the client
+                    # would see ConnectionReset instead of Retry-After.
+                    self.rfile.read(int(self.headers.get("Content-Length",
+                                                         0)))
                     self._status = 503
                     body = json.dumps({"error": "server busy: max_inflight "
                                        f"({max_inflight}) compute requests "
@@ -877,6 +961,7 @@ def make_handler(service: RolloutService,
             except Exception as e:  # keep the server alive on bad input
                 self._reply(500, {"error": f"{type(e).__name__}: {e}"})
 
+    Handler.inflight = inflight
     return Handler
 
 
@@ -898,8 +983,12 @@ def serve(service: RolloutService, host: str = "127.0.0.1",
     Every server carries a :class:`Metrics` registry (``httpd.metrics``)
     scrapeable at ``GET /metrics`` in Prometheus text format."""
     metrics = Metrics()
-    httpd = ThreadingHTTPServer(
-        (host, port),
-        make_handler(service, batcher, metrics, max_inflight=max_inflight))
+    handler = make_handler(service, batcher, metrics,
+                           max_inflight=max_inflight)
+    httpd = ThreadingHTTPServer((host, port), handler)
     httpd.metrics = metrics
+    # Graceful-drain signal: handler threads are daemons (killed at process
+    # exit), so a supervisor shutdown should poll this to zero (bounded)
+    # before exiting — scripts/serve.py does.
+    httpd.inflight = handler.inflight
     return httpd

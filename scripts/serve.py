@@ -51,6 +51,10 @@ def main():
                         help="Shed compute requests beyond M in flight with "
                              "503 + Retry-After (0 = unbounded); health/"
                              "metrics probes always answer")
+    parser.add_argument("--grace-period", type=float, default=10.0,
+                        metavar="S",
+                        help="On SIGTERM/Ctrl-C: seconds to wait for "
+                             "in-flight responses to finish before exiting")
     args = parser.parse_args()
 
     from nbody_gnn_hpc_tpu.serve import (MicroBatcher, build_replica_pool,
@@ -71,40 +75,54 @@ def main():
                            max_wait_s=args.micro_batch_wait_ms / 1e3) \
         if args.micro_batch > 0 else None
 
-    if args.warm_particles:
-        print(f"Warming rollout program (N={args.warm_particles}, "
-              f"steps={args.warm_steps}"
-              + (f", batch={args.warm_batch}" if args.warm_batch else "")
-              + ")...")
-        service.warmup(args.warm_particles, args.warm_steps,
-                       batch=args.warm_batch or None)
-        # Streamed requests run a (N, STREAM_CHUNK) program instead of the
-        # (N, warm_steps) one; warm it so first streams are compile-free.
-        service.warmup(args.warm_particles, service.STREAM_CHUNK,
-                       trajectories=(True,))
-        if batcher is not None:
-            print(f"Warming micro-batch buckets {batcher.buckets}...")
-            batcher.warmup(args.warm_particles, args.warm_steps)
-
-    httpd = serve(service, host=args.host, port=args.port, batcher=batcher,
-                  max_inflight=args.max_inflight or None)
-    print(f"Serving on http://{args.host}:{args.port} "
-          f"(endpoints: /healthz, /rollout, /rollout_batch, /simulate)")
-
-    # Graceful stop on SIGTERM (how a supervisor/orchestrator stops us):
-    # stop accepting connections and return from serve_forever; in-flight
-    # handler threads finish their current response.
+    # Graceful stop on SIGTERM (how a supervisor/orchestrator stops us).
+    # Registered before warmup so a SIGTERM during the minutes-long remote
+    # warmup window also exits cleanly instead of hard-killing.
     import signal
+    import time
 
     def _term(signum, frame):
         raise KeyboardInterrupt
 
     signal.signal(signal.SIGTERM, _term)
+    httpd = None
     try:
+        if args.warm_particles:
+            print(f"Warming rollout program (N={args.warm_particles}, "
+                  f"steps={args.warm_steps}"
+                  + (f", batch={args.warm_batch}" if args.warm_batch else "")
+                  + ")...")
+            service.warmup(args.warm_particles, args.warm_steps,
+                           batch=args.warm_batch or None)
+            # Streamed requests run a (N, STREAM_CHUNK) program instead of
+            # the (N, warm_steps) one; warm it so first streams are
+            # compile-free.
+            service.warmup(args.warm_particles, service.STREAM_CHUNK,
+                           trajectories=(True,))
+            if batcher is not None:
+                print(f"Warming micro-batch buckets {batcher.buckets}...")
+                batcher.warmup(args.warm_particles, args.warm_steps)
+
+        httpd = serve(service, host=args.host, port=args.port,
+                      batcher=batcher,
+                      max_inflight=args.max_inflight or None)
+        print(f"Serving on http://{args.host}:{args.port} "
+              f"(endpoints: /healthz, /rollout, /rollout_batch, /simulate)")
         httpd.serve_forever()
     except KeyboardInterrupt:
         print("\nShutting down.")
-        httpd.shutdown()
+        if httpd is not None:
+            httpd.shutdown()  # stop accepting connections
+            # Handler threads are daemons — killed at process exit — so
+            # drain in-flight responses with a bounded grace period.
+            deadline = time.time() + args.grace_period
+            while httpd.inflight.count() and time.time() < deadline:
+                time.sleep(0.1)
+            left = httpd.inflight.count()
+            if left:
+                print(f"Grace period elapsed with {left} request(s) still "
+                      "in flight; exiting anyway.")
+            httpd.server_close()
 
 
 if __name__ == "__main__":

@@ -977,3 +977,110 @@ def test_max_inflight_sheds_excess_with_503():
     finally:
         svc.release.set()
         httpd.shutdown()
+
+
+def test_simulate_large_save_interval_bounded_programs(tmp_path):
+    """save_interval > SIM_CHUNK must NOT become one save_interval-step
+    device program (minutes-long programs get killed by the backend):
+    intervals advance in <=SIM_CHUNK-step no-save programs, and the saved
+    frames equal the single-program run_trajectory oracle exactly."""
+    from nbody_gnn_hpc_tpu.sim import accelerations
+    from nbody_gnn_hpc_tpu.sim.integrator import run_trajectory
+    from nbody_gnn_hpc_tpu.sim.state import make_state
+
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1,
+                     output_dim=6, dropout=0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), 8, 8 * 3)
+    ckpt = tmp_path / "m.pt"
+    save_checkpoint(ckpt, params=params, opt_state=None,
+                    scheduler_state=None, best_val_loss=0.0, history={},
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)},
+                    model_config={})
+    service = RolloutService(model, str(ckpt), k_neighbors=3)
+    old = service.SIM_CHUNK
+    service.SIM_CHUNK = 6  # save_interval=8 > SIM_CHUNK
+    try:
+        rng = np.random.RandomState(9)
+        n = 8
+        pos = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+        vel = np.zeros((n, 3), np.float32)
+        m = rng.uniform(1e10, 1e12, n).astype(np.float32)
+
+        out = service.simulate(pos, vel, m, n_steps=20, dt=1e-3,
+                               trajectory=True, save_interval=8)
+        # oracle: one un-chunked program
+        state = make_state(pos, vel, m)
+        state = state._replace(
+            accelerations=accelerations(state.positions, state.masses))
+        oracle = run_trajectory(state, 1e-3, 20, save_interval=8)
+        assert out["positions"].shape == (3, n, 3)  # initial + 20//8 saves
+        np.testing.assert_array_equal(out["positions"],
+                                      np.asarray(oracle.positions))
+        np.testing.assert_array_equal(out["times"],
+                                      np.asarray(oracle.times))
+
+        # streamed variant concatenates to the same frames
+        chunks = list(service.simulate_stream(pos, vel, m, n_steps=20,
+                                              dt=1e-3, save_interval=8))
+        got = np.concatenate([c["positions"] for c in chunks])
+        np.testing.assert_array_equal(got, out["positions"])
+        assert [c["frame_start"] for c in chunks] == [0, 1, 2]
+    finally:
+        service.SIM_CHUNK = old
+
+
+def test_mid_stream_error_recorded_as_failure(tmp_path):
+    """A device error mid-stream surfaces in-band AND is recorded in
+    /metrics as a 500, not the 200 the status line said."""
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1,
+                     output_dim=6, dropout=0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), N, N * K)
+    ckpt = tmp_path / "m.pt"
+    save_checkpoint(ckpt, params=params, opt_state=None,
+                    scheduler_state=None, best_val_loss=0.0, history={},
+                    norm_stats={"state_mean": np.zeros(6, np.float32),
+                                "state_std": np.ones(6, np.float32)},
+                    model_config={})
+    service = RolloutService(model, str(ckpt), k_neighbors=K)
+    calls = []
+    real = service.predictor.predict_rollout
+
+    def flaky(*a, **k):
+        calls.append(1)
+        if len(calls) >= 2:
+            raise RuntimeError("device fell over")
+        return real(*a, **k)
+
+    service.predictor.predict_rollout = flaky
+    httpd = serve(service, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        rng = np.random.RandomState(12)
+        req = urllib.request.Request(
+            f"{url}/rollout", data=json.dumps({
+                "positions": rng.randn(N, 3).tolist(),
+                "velocities": rng.randn(N, 3).tolist(),
+                "masses": rng.uniform(1e10, 1e12, N).tolist(),
+                "n_steps": 6, "stream": True, "chunk": 2}).encode(),
+            headers={"Content-Type": "application/json"})
+        lines = []
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            for raw in resp:
+                lines.append(json.loads(raw))
+        assert any("error" in ln for ln in lines), lines
+        assert not any(ln.get("done") for ln in lines)
+        with urllib.request.urlopen(f"{url}/metrics", timeout=30) as r:
+            text = r.read().decode()
+        assert 'endpoint="/rollout",status="500"' in text
+    finally:
+        httpd.shutdown()
+
+
+def test_validation_error_reprs_are_bounded():
+    from nbody_gnn_hpc_tpu.serve import _require_int
+
+    with pytest.raises(ValueError) as exc:
+        _require_int(list(range(100_000)), "n_steps")
+    assert len(str(exc.value)) < 300
