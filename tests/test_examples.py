@@ -43,3 +43,16 @@ def test_serving_demo(tmp_path):
     assert result.returncode == 0, result.stderr[-1500:]
     assert "Concurrent wall clock" in result.stdout
     assert result.stdout.count("client ") == 3
+
+
+@pytest.mark.slow
+def test_parallel_demo():
+    result = subprocess.run(
+        [sys.executable, str(REPO / "examples/demo_parallel.py"),
+         "--virtual-devices", "4", "--particles", "12", "--sims", "8",
+         "--steps", "20"],
+        env=cli_env(), capture_output=True, text=True, timeout=600)
+    assert result.returncode == 0, result.stderr[-1500:]
+    assert "equals unsharded" in result.stdout
+    assert "== 1-device" in result.stdout
+    assert "device-pinned replicas" in result.stdout
