@@ -62,16 +62,14 @@ class RolloutClient:
 
     # -- transport ----------------------------------------------------------
 
-    def _post(self, path: str, payload: dict) -> Dict[str, np.ndarray]:
+    def _open(self, path: str, payload: dict):
+        """POST and return the open response, mapping HTTP errors to
+        ServiceError with the server's in-body message."""
         req = urllib.request.Request(
             f"{self.base_url}{path}", data=json.dumps(payload).encode(),
             headers={"Content-Type": "application/json"})
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                body = resp.read()
-                if resp.headers.get("Content-Type") == \
-                        "application/octet-stream":
-                    return dict(np.load(io.BytesIO(body)))
+            return urllib.request.urlopen(req, timeout=self.timeout)
         except urllib.error.HTTPError as e:
             detail = e.read().decode(errors="replace")
             try:
@@ -79,6 +77,13 @@ class RolloutClient:
             except ValueError:
                 pass
             raise ServiceError(detail, status=e.code) from None
+
+    def _post(self, path: str, payload: dict) -> Dict[str, np.ndarray]:
+        with self._open(path, payload) as resp:
+            body = resp.read()
+            if resp.headers.get("Content-Type") == \
+                    "application/octet-stream":
+                return dict(np.load(io.BytesIO(body)))
         return {k: np.asarray(v) for k, v in json.loads(body).items()}
 
     # -- endpoints ----------------------------------------------------------
@@ -144,19 +149,7 @@ class RolloutClient:
 
     def _stream(self, path: str, payload: dict
                 ) -> Iterator[Dict[str, np.ndarray]]:
-        req = urllib.request.Request(
-            f"{self.base_url}{path}", data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"})
-        try:
-            resp = urllib.request.urlopen(req, timeout=self.timeout)
-        except urllib.error.HTTPError as e:
-            detail = e.read().decode(errors="replace")
-            try:
-                detail = json.loads(detail).get("error", detail)
-            except ValueError:
-                pass
-            raise ServiceError(detail, status=e.code) from None
-        with resp:
+        with self._open(path, payload) as resp:
             for raw in resp:
                 obj = json.loads(raw)
                 if "error" in obj:

@@ -684,6 +684,9 @@ def _validate(payload: dict, batched: bool) -> Tuple[np.ndarray, np.ndarray,
     return pos, vel, masses, n_steps
 
 
+_COMPUTE_PATHS = ("/rollout", "/rollout_batch", "/simulate")
+
+
 class _Inflight:
     """Thread-safe count of requests currently being handled — the signal
     a graceful shutdown drains on (daemon handler threads die with the
@@ -711,7 +714,7 @@ def make_handler(service: RolloutService,
                  batcher: Optional[MicroBatcher] = None,
                  metrics: Optional[Metrics] = None,
                  max_inflight: Optional[int] = None):
-    known_paths = ("/rollout", "/rollout_batch", "/simulate", "/healthz")
+    known_paths = _COMPUTE_PATHS + ("/healthz",)
     # Backpressure: ThreadingHTTPServer spawns one thread per connection,
     # so without a cap a burst piles unbounded threads (each holding its
     # decoded request arrays) onto the device lock. Beyond max_inflight
@@ -793,6 +796,12 @@ def make_handler(service: RolloutService,
                     pass
             self.close_connection = True
 
+        def _start_stream(self, chunks) -> None:
+            """Compute the first chunk (so input errors still get a real
+            HTTP status), then stream it plus the rest."""
+            first = next(chunks)
+            self._reply_stream(itertools.chain([first], chunks))
+
         def _reply_npz(self, arrays: dict) -> None:
             # Uncompressed npz of f32 arrays: the compute is f32, so the
             # cast is lossless, the body is ~5x smaller than the float-text
@@ -862,7 +871,7 @@ def make_handler(service: RolloutService,
                     gate.release()
 
         def _do_post(self):
-            if self.path not in ("/rollout", "/rollout_batch", "/simulate"):
+            if self.path not in _COMPUTE_PATHS:
                 self._reply(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -904,11 +913,9 @@ def make_handler(service: RolloutService,
                         # the device lock between chunks, so they are
                         # exempt from the saved-frame cap below — streaming
                         # IS the sanctioned way to fetch big trajectories.
-                        chunks = service.simulate_stream(
+                        self._start_stream(service.simulate_stream(
                             pos, vel, masses, n_steps, dt=dt,
-                            save_interval=save_interval)
-                        first = next(chunks)
-                        self._reply_stream(itertools.chain([first], chunks))
+                            save_interval=save_interval))
                         return
                     # Trajectory mode buffers and JSON-serializes every
                     # saved frame while holding the device lock; cap the
@@ -937,10 +944,8 @@ def make_handler(service: RolloutService,
                         if not (1 <= chunk <= 1024):
                             raise ValueError(
                                 f"chunk out of range [1, 1024]: {chunk}")
-                        chunks = service.rollout_stream(
-                            pos, vel, masses, n_steps, chunk=chunk)
-                        first = next(chunks)
-                        self._reply_stream(itertools.chain([first], chunks))
+                        self._start_stream(service.rollout_stream(
+                            pos, vel, masses, n_steps, chunk=chunk))
                         return
                     if batched:
                         out = service.rollout_batch(pos, vel, masses,

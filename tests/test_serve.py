@@ -890,7 +890,17 @@ def test_metrics_endpoint(server):
     with pytest.raises(urllib.error.HTTPError):
         post(f"{server}/rollout", {**payload, "n_steps": 0})
 
-    after = scrape()
+    # The observation lands in the handler's `finally` AFTER the response
+    # bytes are written, so a scrape can race the last request by a few
+    # microseconds — poll briefly.
+    import time
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        after = scrape()
+        if (count(after, "/rollout", 200) == n0_ok + 2
+                and count(after, "/rollout", 400) == n0_bad + 1):
+            break
+        time.sleep(0.05)
     assert count(after, "/rollout", 200) == n0_ok + 2
     assert count(after, "/rollout", 400) == n0_bad + 1
 
@@ -964,8 +974,14 @@ def test_max_inflight_sheds_excess_with_503():
         # probes answer while saturated
         with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
             assert json.loads(r.read())["status"] == "ok"
-        with urllib.request.urlopen(f"{url}/metrics", timeout=10) as r:
-            text = r.read().decode()
+        # poll: the observation lands after the 503 bytes are written
+        deadline = time.time() + 5
+        text = ""
+        while time.time() < deadline \
+                and 'endpoint="/rollout",status="503"' not in text:
+            with urllib.request.urlopen(f"{url}/metrics", timeout=10) as r:
+                text = r.read().decode()
+            time.sleep(0.05)
         assert 'endpoint="/rollout",status="503"' in text
 
         svc.release.set()
@@ -1071,8 +1087,15 @@ def test_mid_stream_error_recorded_as_failure(tmp_path):
                 lines.append(json.loads(raw))
         assert any("error" in ln for ln in lines), lines
         assert not any(ln.get("done") for ln in lines)
-        with urllib.request.urlopen(f"{url}/metrics", timeout=30) as r:
-            text = r.read().decode()
+        # poll: the observation lands after the error line is written
+        import time
+        deadline = time.time() + 5
+        text = ""
+        while time.time() < deadline \
+                and 'endpoint="/rollout",status="500"' not in text:
+            with urllib.request.urlopen(f"{url}/metrics", timeout=30) as r:
+                text = r.read().decode()
+            time.sleep(0.05)
         assert 'endpoint="/rollout",status="500"' in text
     finally:
         httpd.shutdown()
