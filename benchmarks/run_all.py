@@ -32,6 +32,11 @@ def timeit(fn, sync, reps):
 
 
 def main():
+    # Fail fast on a dead device backend instead of hanging at the first
+    # readback (same probe as the headline benchmark).
+    from bench import _probe_backend
+    _probe_backend()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
