@@ -201,6 +201,15 @@ def main():
     print(f"/simulate: exact-physics final state "
           f"{np.asarray(sim_out['positions']).shape}, finite="
           f"{np.isfinite(np.asarray(sim_out['positions'])).all()}")
+
+    # Observability: everything above is already on the scrape endpoint.
+    metrics = urllib.request.urlopen(f"{base}/metrics",
+                                     timeout=60).read().decode()
+    counters = [ln for ln in metrics.splitlines()
+                if ln.startswith("nbody_requests_total{")]
+    print("/metrics request counters:")
+    for ln in counters:
+        print(f"  {ln}")
     httpd.shutdown()
 
 
