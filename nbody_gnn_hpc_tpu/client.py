@@ -50,33 +50,53 @@ class RolloutClient:
     ``fmt``: default response transport for bulk calls — "npz" (binary
     f32, ~5x smaller than JSON and far cheaper to parse; the default) or
     "json".
+
+    ``retries_503``: how many times to retry a request the server shed
+    with 503 (its ``max_inflight`` backpressure), honoring the response's
+    Retry-After delay. Default 0 — shedding surfaces as ServiceError so
+    callers with their own load control see it immediately.
     """
 
     def __init__(self, base_url: str, timeout: float = 600.0,
-                 fmt: str = "npz"):
+                 fmt: str = "npz", retries_503: int = 0):
         if fmt not in ("json", "npz"):
             raise ValueError(f"fmt must be 'json' or 'npz', got {fmt!r}")
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
         self.fmt = fmt
+        self.retries_503 = int(retries_503)
 
     # -- transport ----------------------------------------------------------
 
     def _open(self, path: str, payload: dict):
         """POST and return the open response, mapping HTTP errors to
-        ServiceError with the server's in-body message."""
-        req = urllib.request.Request(
-            f"{self.base_url}{path}", data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"})
-        try:
-            return urllib.request.urlopen(req, timeout=self.timeout)
-        except urllib.error.HTTPError as e:
-            detail = e.read().decode(errors="replace")
+        ServiceError with the server's in-body message (after exhausting
+        any configured 503 retries)."""
+        import time
+
+        data = json.dumps(payload).encode()
+        attempt = 0
+        while True:
+            req = urllib.request.Request(
+                f"{self.base_url}{path}", data=data,
+                headers={"Content-Type": "application/json"})
             try:
-                detail = json.loads(detail).get("error", detail)
-            except ValueError:
-                pass
-            raise ServiceError(detail, status=e.code) from None
+                return urllib.request.urlopen(req, timeout=self.timeout)
+            except urllib.error.HTTPError as e:
+                detail = e.read().decode(errors="replace")
+                if e.code == 503 and attempt < self.retries_503:
+                    attempt += 1
+                    try:
+                        delay = float(e.headers.get("Retry-After") or 1.0)
+                    except ValueError:
+                        delay = 1.0
+                    time.sleep(min(max(delay, 0.0), 30.0))
+                    continue
+                try:
+                    detail = json.loads(detail).get("error", detail)
+                except ValueError:
+                    pass
+                raise ServiceError(detail, status=e.code) from None
 
     def _post(self, path: str, payload: dict) -> Dict[str, np.ndarray]:
         with self._open(path, payload) as resp:

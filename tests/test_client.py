@@ -1,6 +1,7 @@
 """RolloutClient: the typed Python consumer of the serving API, exercised
 against the real HTTP server (same fixture pattern as test_serve.py)."""
 
+import json
 import threading
 
 import jax
@@ -162,3 +163,60 @@ def test_abandoned_stream_does_not_wedge_server(service_and_url):
     assert client.healthz()["status"] == "ok"
     out = client.rollout(pos, vel, m, 3)
     assert out["positions"].shape == (4, N, 3)
+
+
+def test_retries_503_honors_retry_after():
+    """retries_503 re-sends after a shed (503 + Retry-After) and succeeds;
+    the default client surfaces the 503 immediately."""
+    import time
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    sheds = {"n": 2}
+    times = []
+
+    class Flaky(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            times.append(time.monotonic())
+            if sheds["n"] > 0:
+                sheds["n"] -= 1
+                body = b'{"error": "server busy"}'
+                self.send_response(503)
+                self.send_header("Retry-After", "0.2")
+            else:
+                body = json.dumps({"positions": [[0.0] * 3],
+                                   "velocities": [[0.0] * 3]}).encode()
+                self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), Flaky)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    pos, vel, m = _system(8)
+    try:
+        # default: immediate ServiceError
+        with pytest.raises(ServiceError) as exc:
+            RolloutClient(url, fmt="json").rollout(pos, vel, m, 1)
+        assert exc.value.status == 503
+        sheds["n"] = 2
+        times.clear()
+        out = RolloutClient(url, fmt="json",
+                            retries_503=3).rollout(pos, vel, m, 1)
+        assert np.asarray(out["positions"]).shape == (1, 3)
+        assert len(times) == 3  # 2 sheds + 1 success
+        # Retry-After honored (~0.2 s between attempts)
+        assert times[1] - times[0] >= 0.15
+        # retries exhausted -> ServiceError
+        sheds["n"] = 5
+        with pytest.raises(ServiceError) as exc2:
+            RolloutClient(url, fmt="json",
+                          retries_503=2).rollout(pos, vel, m, 1)
+        assert exc2.value.status == 503
+    finally:
+        httpd.shutdown()
