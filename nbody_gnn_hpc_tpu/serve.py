@@ -187,25 +187,17 @@ class RolloutService:
           computed and discarded; surplus < chunk), so an arbitrary-length
           stream costs one compile. ``warmup(n_particles, chunk)`` warms it.
         """
-        pos = np.asarray(positions, np.float32)
-        vel = np.asarray(velocities, np.float32)
-        masses = np.asarray(masses, np.float32)
-        n_steps = int(n_steps)
         chunk = int(chunk or self.STREAM_CHUNK)
-        done = 0
-        while done < n_steps:
-            todo = min(chunk, n_steps - done)
+
+        def run_chunk(pos, vel, m):
             with self._lock:
                 out = self.predictor.predict_rollout(
-                    pos, vel, masses, n_steps=chunk, trajectory=True,
+                    pos, vel, m, n_steps=chunk, trajectory=True,
                     out_dtype=np.float32)
-            ps, vs = out["positions"], out["velocities"]  # (chunk+1, N, 3)
-            pos, vel = ps[todo], vs[todo]
-            lo = 0 if done == 0 else 1  # drop duplicated chunk head
-            yield {"frame_start": done + lo,
-                   "positions": ps[lo:todo + 1],
-                   "velocities": vs[lo:todo + 1]}
-            done += todo
+            return out["positions"], out["velocities"]
+
+        yield from _stream_rollout_chunks(run_chunk, positions, velocities,
+                                          masses, int(n_steps), chunk)
 
     def simulate_stream(self, positions, velocities, masses, n_steps: int,
                         dt: float = 0.001, save_interval: int = 1):
@@ -439,11 +431,11 @@ class ReplicaPool:
 
     Each request acquires a free replica (FIFO; blocks when every replica
     is busy — the multi-device generalization of the single service's
-    lock) and runs entirely on that replica's device. Streamed requests
-    pin one replica for the whole stream — the remaining replicas keep
-    serving other traffic, which is the point of the pool. Composes with
-    :class:`MicroBatcher` (each coalesced batch dispatch acquires one
-    replica).
+    lock) and runs entirely on that replica's device. GNN streams acquire
+    a replica per CHUNK (their carry is host-side), so long streams
+    load-balance across the pool; /simulate streams pin one replica (their
+    state lives on its device). Composes with :class:`MicroBatcher` (each
+    coalesced batch dispatch acquires one replica).
     """
 
     def __init__(self, services):
@@ -482,18 +474,60 @@ class ReplicaPool:
     def simulate(self, *args, **kwargs):
         return self._run("simulate", *args, **kwargs)
 
-    def _stream_via(self, method, *args, **kwargs):
+    def rollout_stream(self, positions, velocities, masses, n_steps: int,
+                       chunk: Optional[int] = None):
+        """Each chunk acquires a free replica: the carry between chunks is
+        host-side, so a long stream load-balances across the pool instead
+        of pinning one replica (FIFO rotation alternates replicas when
+        several are free)."""
+        chunk = int(chunk or self.STREAM_CHUNK)
+
+        def run_chunk(pos, vel, m):
+            s = self._free.get()
+            try:
+                with s._lock:
+                    out = s.predictor.predict_rollout(
+                        pos, vel, m, n_steps=chunk, trajectory=True,
+                        out_dtype=np.float32)
+            finally:
+                self._free.put(s)
+            return out["positions"], out["velocities"]
+
+        yield from _stream_rollout_chunks(run_chunk, positions, velocities,
+                                          masses, int(n_steps), chunk)
+
+    def simulate_stream(self, *args, **kwargs):
+        # The simulation state lives on the acquired replica's device
+        # between chunks, so (unlike rollout_stream) the whole stream pins
+        # that replica; exhaustion or abandonment releases it.
         s = self._free.get()
         try:
-            yield from getattr(s, method)(*args, **kwargs)
+            yield from s.simulate_stream(*args, **kwargs)
         finally:
             self._free.put(s)
 
-    def rollout_stream(self, *args, **kwargs):
-        return self._stream_via("rollout_stream", *args, **kwargs)
 
-    def simulate_stream(self, *args, **kwargs):
-        return self._stream_via("simulate_stream", *args, **kwargs)
+def _stream_rollout_chunks(run_chunk, positions, velocities, masses,
+                           n_steps: int, chunk: int):
+    """Shared chunk loop for streamed GNN rollouts: the carry between
+    chunks is host-side (f32 numpy states), so ``run_chunk`` may execute
+    each chunk on a different device — the single service locks its one
+    device per chunk, the replica pool acquires a free replica per chunk.
+    ``run_chunk(pos, vel, masses) -> (ps, vs)`` runs the fixed
+    ``chunk``-step program and returns (chunk+1, N, 3) arrays."""
+    pos = np.asarray(positions, np.float32)
+    vel = np.asarray(velocities, np.float32)
+    masses = np.asarray(masses, np.float32)
+    done = 0
+    while done < n_steps:
+        todo = min(chunk, n_steps - done)
+        ps, vs = run_chunk(pos, vel, masses)  # (chunk+1, N, 3)
+        pos, vel = ps[todo], vs[todo]
+        lo = 0 if done == 0 else 1  # drop duplicated chunk head
+        yield {"frame_start": done + lo,
+               "positions": ps[lo:todo + 1],
+               "velocities": vs[lo:todo + 1]}
+        done += todo
 
 
 class _Job:

@@ -129,16 +129,59 @@ def test_pool_concurrent_requests_fan_out(ckpt_paths):
     assert pool._free.qsize() == 2
 
 
-def test_pool_stream_releases_replica(ckpt_paths):
+def test_pool_rollout_stream_balances_across_replicas(ckpt_paths):
+    """GNN stream chunks acquire a replica each (host-side carry): a
+    2-chunk stream on a 2-replica pool uses BOTH replicas (FIFO rotation),
+    and no replica stays pinned between chunks or after abandonment."""
     pool = build_replica_pool(*ckpt_paths, n_replicas=2)
+    used = []
+    for svc in pool.services:
+        def make(svc=svc):
+            real = svc.predictor.predict_rollout
+
+            def wrapped(*a, **k):
+                used.append(svc.device)
+                return real(*a, **k)
+
+            return wrapped
+
+        svc.predictor.predict_rollout = make()
+
     pos, vel, m = _system(3)
-    it = pool.rollout_stream(pos, vel, m, 6, chunk=2)
+    it = pool.rollout_stream(pos, vel, m, 6, chunk=3)
     next(it)
-    assert pool._free.qsize() == 1  # stream pins one replica...
+    assert pool._free.qsize() == 2  # replica returned between chunks
     it.close()
-    assert pool._free.qsize() == 2  # ...and abandonment releases it
-    list(pool.rollout_stream(pos, vel, m, 4, chunk=2))
-    assert pool._free.qsize() == 2  # exhaustion releases it too
+    assert pool._free.qsize() == 2
+    used.clear()
+    chunks = list(pool.rollout_stream(pos, vel, m, 6, chunk=3))
+    assert len(chunks) == 2
+    assert len(set(used)) == 2, used  # chunk 1 and 2 on different replicas
+    assert pool._free.qsize() == 2
+
+
+def test_pool_simulate_stream_pins_one_replica(ckpt_paths):
+    """/simulate streams carry device state, so they pin their replica for
+    the stream's lifetime and release it on exhaustion or abandonment."""
+    pool = build_replica_pool(*ckpt_paths, n_replicas=2)
+    rng = np.random.RandomState(4)
+    pos = rng.uniform(-2, 2, (N, 3)).astype(np.float32)
+    vel = np.zeros((N, 3), np.float32)
+    m = rng.uniform(1e10, 1e12, N).astype(np.float32)
+    old = [s.SIM_CHUNK for s in pool.services]
+    for s in pool.services:
+        s.SIM_CHUNK = 4  # force several chunks
+    try:
+        it = pool.simulate_stream(pos, vel, m, 12, dt=1e-3, save_interval=2)
+        next(it)
+        assert pool._free.qsize() == 1  # pinned mid-stream
+        it.close()
+        assert pool._free.qsize() == 2  # abandonment releases
+        list(pool.simulate_stream(pos, vel, m, 8, dt=1e-3, save_interval=2))
+        assert pool._free.qsize() == 2  # exhaustion releases
+    finally:
+        for s, v in zip(pool.services, old):
+            s.SIM_CHUNK = v
 
 
 def test_pool_through_http_server(ckpt_paths):
