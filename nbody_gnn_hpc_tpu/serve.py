@@ -188,16 +188,19 @@ class RolloutService:
           stream costs one compile. ``warmup(n_particles, chunk)`` warms it.
         """
         chunk = int(chunk or self.STREAM_CHUNK)
+        yield from _stream_rollout_chunks(
+            lambda pos, vel, m: self.rollout_chunk(pos, vel, m, chunk),
+            positions, velocities, masses, int(n_steps), chunk)
 
-        def run_chunk(pos, vel, m):
-            with self._lock:
-                out = self.predictor.predict_rollout(
-                    pos, vel, m, n_steps=chunk, trajectory=True,
-                    out_dtype=np.float32)
-            return out["positions"], out["velocities"]
-
-        yield from _stream_rollout_chunks(run_chunk, positions, velocities,
-                                          masses, int(n_steps), chunk)
+    def rollout_chunk(self, pos, vel, masses, chunk: int):
+        """One fixed-size stream chunk under this service's device lock:
+        returns (chunk+1, N, 3) position/velocity arrays. The unit both
+        the single-service and replica-pool stream loops execute."""
+        with self._lock:
+            out = self.predictor.predict_rollout(
+                pos, vel, masses, n_steps=chunk, trajectory=True,
+                out_dtype=np.float32)
+        return out["positions"], out["velocities"]
 
     def simulate_stream(self, positions, velocities, masses, n_steps: int,
                         dt: float = 0.001, save_interval: int = 1):
@@ -485,13 +488,9 @@ class ReplicaPool:
         def run_chunk(pos, vel, m):
             s = self._free.get()
             try:
-                with s._lock:
-                    out = s.predictor.predict_rollout(
-                        pos, vel, m, n_steps=chunk, trajectory=True,
-                        out_dtype=np.float32)
+                return s.rollout_chunk(pos, vel, m, chunk)
             finally:
                 self._free.put(s)
-            return out["positions"], out["velocities"]
 
         yield from _stream_rollout_chunks(run_chunk, positions, velocities,
                                           masses, int(n_steps), chunk)
