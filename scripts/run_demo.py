@@ -8,18 +8,30 @@ subprocess isolation and exit-on-failure, same cleaned artifacts — see
 stage table executed by a tiny runner.
 
 Usage:
-    python scripts/run_demo.py [--skip-training] [--skip-datagen]
+    python scripts/run_demo.py [--production | --reference-protocol]
+                               [--skip-training] [--skip-datagen]
                                [--no-clean] [--max-samples N]
                                [--epochs N] [--no-windows]
                                [--compression gzip|lzf|none]
                                [--f64-ground-truth]
                                [--rollout-select] [--finetune-rollout]
 
-The last six flags are additive (no reference equivalent): they select the
-measured production protocol — manifest datagen + lzf, a fixed epoch budget,
-the published-number f64 evaluation oracle, and the two rollout-quality
-stages (checkpoint selection / K-step fine-tune, both measured in
-RESULTS.md to beat best-val selection by 6.2x / 16x on this protocol).
+``--production`` is the measured-best recipe in ONE switch (RESULTS.md):
+manifest datagen + lzf (124 s vs 657 s), a 60-epoch budget, the f64
+published-number evaluation oracle, and — the load-bearing part —
+rollout-aware checkpoint selection ON BY DEFAULT. Selection is default here
+because best-val selection is a measured lottery (one fresh production run:
+580.7 posRMSE best-val vs 93.4 with full-horizon selection from the SAME
+checkpoints, ~2 min extra, zero extra training — RESULTS.md). This is a
+deliberate deviation from the reference protocol (best-val save,
+/root/reference/src/ai/train.py:519-528, evaluated as-is by
+/root/reference/scripts/evaluate.py:50-63), documented in PARITY.md; the
+bare reference protocol remains the no-flag default and is nameable
+explicitly as ``--reference-protocol``.
+
+The remaining additive flags compose with either mode (e.g.
+``--production --finetune-rollout`` adds the measured two-rung K-step
+fine-tune, 36.0 posRMSE on the same run).
 """
 
 import argparse
@@ -217,9 +229,50 @@ def print_header(cfg: TrainingConfig) -> None:
     print(rule)
 
 
+# Training-epoch budget of the measured production recipe (RESULTS.md:
+# 60-epoch run, 49.4 s median epoch; best-val converged by epoch 42).
+PRODUCTION_EPOCHS = 60
+
+
+def resolve_mode(args: argparse.Namespace) -> argparse.Namespace:
+    """Expand --production / --reference-protocol into concrete flags.
+
+    Mutates and returns ``args``. Kept separate from main() so the wiring
+    is unit-testable (tests/test_cli.py pins that --production implies
+    rollout selection — the measured fix for the best-val lottery).
+    """
+    if args.production and args.reference_protocol:
+        raise SystemExit(
+            "Error: --production and --reference-protocol are mutually "
+            "exclusive")
+    if args.production:
+        args.rollout_select = True
+        args.no_windows = True
+        args.f64_ground_truth = True
+        if args.compression is None:
+            args.compression = "lzf"
+        if args.epochs is None:
+            args.epochs = PRODUCTION_EPOCHS
+    if args.compression is None:
+        args.compression = "gzip"  # reference-parity default
+    return args
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(
         description="Run full AI-HPC demo pipeline")
+    parser.add_argument("--production", action="store_true",
+                        help="Measured-best recipe in one switch: manifest "
+                             "datagen + lzf, 60-epoch budget, f64 oracle, "
+                             "and rollout-aware checkpoint selection ON "
+                             "(best-val selection is a measured 6x lottery "
+                             "— RESULTS.md). Composable with "
+                             "--finetune-rollout")
+    parser.add_argument("--reference-protocol", action="store_true",
+                        help="Explicitly name the bare reference protocol "
+                             "(the no-flag default): best-val checkpoint "
+                             "selection, windowed gzip datagen, f32 "
+                             "evaluation oracle")
     parser.add_argument("--skip-training", action="store_true",
                         help="Skip training (use existing model)")
     parser.add_argument("--skip-datagen", action="store_true",
@@ -235,8 +288,9 @@ def main() -> None:
                         help="Datagen writes a manifest instead of windowed "
                              "HDF5 (training reads trajectories directly)")
     parser.add_argument("--compression", choices=("gzip", "lzf", "none"),
-                        default="gzip",
-                        help="HDF5 compression for datagen artifacts")
+                        default=None,
+                        help="HDF5 compression for datagen artifacts "
+                             "(default: gzip; lzf under --production)")
     parser.add_argument("--f64-ground-truth", action="store_true",
                         help="Evaluate against the float64 reference-protocol "
                              "oracle (published-number protocol)")
@@ -252,7 +306,7 @@ def main() -> None:
                              "chip) and evaluate best_rollout_model.pt — "
                              "takes precedence over --rollout-select at "
                              "evaluation")
-    args = parser.parse_args()
+    args = resolve_mode(parser.parse_args())
 
     cfg = TrainingConfig()
     print_header(cfg)
