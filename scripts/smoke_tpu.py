@@ -25,6 +25,13 @@ Checks:
  10. train step           — bf16 GNN step runs, loss finite and decreasing
  11. rollout              — scan-compiled predictor rollout, finite output
  12. quantized rollout    — int8 weight-only rollout close to f32 on-chip
+ 13. stream chunks        — serving stream chunk program reassembles to
+                            exactly the non-streamed rollout (pre-warms the
+                            chunk shape the server compiles)
+ 14. blocked k-NN         — row-blocked large-N k-NN == dense on-chip, and
+                            a BH-regime (N=4096) rollout through it
+ 15. replica warm path    — build_replica_pool + warmup + dispatch on the
+                            attached device (the serving DP path)
 
 Usage:
     python scripts/smoke_tpu.py            # all checks
@@ -421,6 +428,117 @@ def check_quantized_rollout():
     return f"int8 vs f32 rel-RMSE {rel:.1e}"
 
 
+@check("stream chunks")
+def check_stream_chunks():
+    """Serving stream path on-chip: rollout_stream's chunked frames must
+    reassemble to exactly the one-program rollout (the chunk program is a
+    different compiled shape — pre-warming it here keeps serving sessions
+    from paying the slow remote Mosaic compile mid-request)."""
+    import jax
+    import tempfile
+    from pathlib import Path as _Path
+
+    from nbody_gnn_hpc_tpu.io.model_io import save_checkpoint
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+    from nbody_gnn_hpc_tpu.serve import RolloutService
+
+    rng = np.random.RandomState(6)
+    n, k, steps = 64, 8, 40  # spans >1 chunk even at chunk=32
+    model = NBodyGNN(7, 32, 2, 6, 0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = _Path(tmp) / "model.pt"
+        save_checkpoint(ckpt, params=params,
+                        norm_stats={"state_mean": np.zeros(6, np.float32),
+                                    "state_std": np.ones(6, np.float32)})
+        svc = RolloutService(model, str(ckpt), k_neighbors=k)
+        pos = rng.randn(n, 3).astype(np.float32)
+        vel = rng.randn(n, 3).astype(np.float32)
+        m = rng.uniform(1e10, 1e12, n).astype(np.float32)
+        want = svc.rollout(pos, vel, m, steps)
+        frames = list(svc.rollout_stream(pos, vel, m, steps, chunk=32))
+        got_pos = np.concatenate([f["positions"] for f in frames])
+        got_vel = np.concatenate([f["velocities"] for f in frames])
+    assert got_pos.shape == np.asarray(want["positions"]).shape, \
+        (got_pos.shape, np.asarray(want["positions"]).shape)
+    np.testing.assert_allclose(got_pos, want["positions"], rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(got_vel, want["velocities"], rtol=2e-4,
+                               atol=2e-4)
+    return f"{len(frames)} chunks == one-program rollout"
+
+
+@check("blocked k-NN N=4096")
+def check_blocked_knn():
+    """Row-blocked large-N k-NN (ops/knn.py) on-chip: identical neighbor
+    selection to the dense path, then a BH-regime rollout through the
+    automatic dispatch (the reference's any-N equivalent is a host cKDTree
+    per step, predict.py:54-91)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+    from nbody_gnn_hpc_tpu.ops.knn import KNN_DENSE_MAX, knn_edge_index
+    from nbody_gnn_hpc_tpu.predict import Predictor
+
+    rng = np.random.RandomState(8)
+    n, k = 4096, 40
+    assert n > KNN_DENSE_MAX
+    pos = jnp.asarray(rng.uniform(-20, 20, (n, 3)), jnp.float32)
+    dense = np.asarray(knn_edge_index(pos, k, block_size=n))  # force dense
+    blocked = np.asarray(knn_edge_index(pos, k))  # auto: blocked at this N
+    np.testing.assert_array_equal(blocked, dense)
+
+    model = NBodyGNN(7, 32, 2, 6, 0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+    pred = Predictor(model, k_neighbors=k, params=params)
+    pred.norm_stats = {"state_mean": np.zeros(6, np.float32),
+                       "state_std": np.ones(6, np.float32)}
+    out = pred.predict_rollout(np.asarray(pos),
+                               rng.randn(n, 3).astype(np.float32),
+                               rng.uniform(1e10, 1e12, n).astype(np.float32),
+                               n_steps=3)
+    assert np.isfinite(out["positions"]).all()
+    return f"N={n} k={k} blocked == dense; 3-step rollout finite"
+
+
+@check("replica warm path")
+def check_replica_pool():
+    """Serving DP surface on the attached device: build_replica_pool +
+    warmup + dispatch (on one chip this is a 1-replica pool — the code
+    path real multi-chip serving uses, minus the extra devices)."""
+    import jax
+    import tempfile
+    from pathlib import Path as _Path
+
+    from nbody_gnn_hpc_tpu.io.model_io import save_checkpoint
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+    from nbody_gnn_hpc_tpu.serve import build_replica_pool
+
+    rng = np.random.RandomState(9)
+    n, k, steps = 32, 4, 5
+    model = NBodyGNN(7, 8, 1, 6, 0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+    with tempfile.TemporaryDirectory() as tmp:
+        ckpt = _Path(tmp) / "model.pt"
+        save_checkpoint(ckpt, params=params,
+                        norm_stats={"state_mean": np.zeros(6, np.float32),
+                                    "state_std": np.ones(6, np.float32)})
+        cfg = _Path(tmp) / "config.json"
+        cfg.write_text(
+            '{"model_config": {"node_input_dim": 7, "hidden_dim": 8, '
+            '"n_layers": 1, "output_dim": 6, "dropout": 0.0}, '
+            '"training_config": {"k_neighbors": 4}}')
+        pool = build_replica_pool(str(ckpt), str(cfg), n_replicas=1)
+        pool.warmup(n, steps)
+        out = pool.rollout(rng.randn(n, 3).astype(np.float32),
+                           rng.randn(n, 3).astype(np.float32),
+                           rng.uniform(1e10, 1e12, n).astype(np.float32),
+                           steps)
+    assert np.isfinite(np.asarray(out["positions"])).all()
+    return f"{pool.model_info['replicas']} replica(s), rollout finite"
+
+
 def main():
     parser = argparse.ArgumentParser(description="Real-TPU smoke workflow")
     parser.add_argument("--fast", action="store_true",
@@ -447,6 +565,10 @@ def main():
     check_train_step()
     check_rollout()
     check_quantized_rollout()
+    check_stream_chunks()
+    if not args.fast:
+        check_blocked_knn()
+    check_replica_pool()
 
     n_fail = sum(1 for _, ok, _, _ in _RESULTS if not ok)
     print("=" * 60)

@@ -13,6 +13,10 @@ from nbody_gnn_hpc_tpu.ops.fused_edge_batched import (
     _chunk_graphs, fused_edge_layer_batched)
 from nbody_gnn_hpc_tpu.ops.knn import knn_edge_index
 
+# Heavy equivalence/property sweeps: full-suite only (pyproject addopts
+# deselects 'slow' by default; run with -m '').
+pytestmark = pytest.mark.slow
+
 
 def _setup(b=4, n=16, k=4, h=32, seed=0):
     rng = np.random.RandomState(seed)

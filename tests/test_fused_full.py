@@ -15,6 +15,10 @@ import pytest
 from nbody_gnn_hpc_tpu.models import NBodyGNN, forward_batch, init_model
 from nbody_gnn_hpc_tpu.ops.knn import knn_edge_index
 
+# Heavy equivalence/property sweeps: full-suite only (pyproject addopts
+# deselects 'slow' by default; run with -m '').
+pytestmark = pytest.mark.slow
+
 N, K, H, LAYERS = 32, 6, 32, 2
 E = N * K
 

@@ -1,5 +1,6 @@
 """Driver entry points compile and run (single virtual device / 8-device)."""
 
+import pytest
 import sys
 from pathlib import Path
 
@@ -22,5 +23,6 @@ def test_entry_compiles_and_runs():
                                atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)

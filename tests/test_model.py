@@ -1,6 +1,7 @@
 """NBodyGNN: parameter-count parity, zero-init identity property, dropout
 rng behavior, batching consistency."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -70,6 +71,7 @@ def test_dropout_stochastic_and_reproducible(rng):
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+@pytest.mark.slow
 def test_batched_forward_matches_loop(rng):
     model = make_model()
     n, b = 8, 4

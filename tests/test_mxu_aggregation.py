@@ -11,6 +11,7 @@ round-1 checkpoints keep loading.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nbody_gnn_hpc_tpu.models import NBodyGNN, ParticleInteractionLayer
 from nbody_gnn_hpc_tpu.models.gnn import target_adjacency
@@ -117,6 +118,7 @@ def _dezero(params, scale=0.03):
         for l, k in zip(leaves, ks)])
 
 
+@pytest.mark.slow
 def test_gather_modes_identical_fwd_and_grad():
     """gather_mode='matmul' (one-hot MXU gathers, scatter-free backward) is
     numerically identical to 'take' for the row-regular edge layouts both

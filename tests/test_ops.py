@@ -200,3 +200,41 @@ def test_symmetric_mxu_kernel_matches_reference(rng):
     acc = np.asarray(pallas_accelerations_symmetric_mxu(pos, m,
                                                         interpret=True))
     assert np.isfinite(acc).all()
+
+
+def test_knn_blocked_matches_dense(rng):
+    """Row-blocked k-NN (the large-N path: O(block*N) memory) selects the
+    exact same neighbors as the dense path — non-multiple-of-block N,
+    under jit, and via the automatic size dispatch."""
+    import jax
+
+    from nbody_gnn_hpc_tpu.ops.knn import _knn_rows_blocked
+
+    n, k = 301, 9  # 301 = 2*128 + 45: exercises a ragged final block
+    pos = jnp.asarray((rng.rand(n, 3) - 0.5) * 10.0, jnp.float32)
+
+    dense = np.asarray(knn_edge_index(pos, k))
+    blocked = np.asarray(knn_edge_index(pos, k, block_size=128))
+    np.testing.assert_array_equal(blocked, dense)
+
+    jitted = np.asarray(
+        jax.jit(lambda p: knn_edge_index(p, k, block_size=128))(pos))
+    np.testing.assert_array_equal(jitted, dense)
+
+    # Direct row-index equivalence too (the helper the dispatch uses).
+    idx = np.asarray(_knn_rows_blocked(pos, k, 128))
+    np.testing.assert_array_equal(idx.reshape(-1), dense[1])
+
+
+def test_knn_auto_dispatch_threshold(monkeypatch):
+    """Above KNN_DENSE_MAX the default call takes the blocked path (pin the
+    wiring, not the constant: lower the threshold and check agreement)."""
+    import nbody_gnn_hpc_tpu.ops.knn as knn_mod
+
+    rng = np.random.RandomState(3)
+    pos = jnp.asarray(rng.rand(64, 3), jnp.float32)
+    dense = np.asarray(knn_mod.knn_edge_index(pos, 5))
+    monkeypatch.setattr(knn_mod, "KNN_DENSE_MAX", 32)
+    monkeypatch.setattr(knn_mod, "KNN_BLOCK", 16)
+    auto = np.asarray(knn_mod.knn_edge_index(pos, 5))
+    np.testing.assert_array_equal(auto, dense)

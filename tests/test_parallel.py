@@ -92,6 +92,7 @@ def test_dp_train_step_matches_single_device(rng):
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs_multiple_steps(rng):
     """Loss decreases over a few DP steps on a fixed batch."""
     n, b = 5, 16

@@ -92,3 +92,31 @@ def test_compare_with_hpc_contract(zero_predictor, rng):
     assert "final_velocity_rmse" in result
     # Stationary prediction vs moving truth: error grows.
     assert result["position_rmse"][-1] > result["position_rmse"][1] * 0.5
+
+
+@pytest.mark.slow
+def test_rollout_at_bh_regime_n():
+    """Predictor works at BH-regime N (k-NN takes the row-blocked path:
+    O(block*N) memory, not the 16+ MB-per-step dense matrix at N=2048) —
+    zero-init params make the rollout exactly stationary, which pins
+    correctness of the large-N graph build inside the scanned rollout.
+    The reference's any-N equivalent is a host cKDTree per step
+    (predict.py:54-91)."""
+    import nbody_gnn_hpc_tpu.ops.knn as knn_mod
+
+    n, k, steps = 2048 + 37, 8, 3  # odd N: ragged final k-NN block
+    assert n > knn_mod.KNN_DENSE_MAX  # the test exercises the blocked path
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1,
+                     output_dim=6, dropout=0.0, remat=False)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+    pred = Predictor(model, k_neighbors=k, params=params)
+    pred.norm_stats = {"state_mean": np.zeros(6, np.float32),
+                       "state_std": np.ones(6, np.float32)}
+    rng = np.random.RandomState(11)
+    pos = rng.randn(n, 3).astype(np.float32) * 5.0
+    vel = rng.randn(n, 3).astype(np.float32)
+    masses = rng.uniform(1e10, 1e12, n).astype(np.float32)
+    out = pred.predict_rollout(pos, vel, masses, n_steps=steps)
+    assert out["positions"].shape == (steps + 1, n, 3)  # initial + steps
+    np.testing.assert_allclose(out["positions"][-1], pos, atol=1e-5)
+    np.testing.assert_allclose(out["velocities"][-1], vel, atol=1e-5)

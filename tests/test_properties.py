@@ -8,6 +8,8 @@ mass linearity. Each property is checked on the production force kernel
 are cross-checked against the same reference in tests/test_ops.py.
 """
 
+import pytest
+
 import jax.numpy as jnp
 import numpy as np
 from hypothesis import given, settings
@@ -16,6 +18,10 @@ from hypothesis.extra.numpy import arrays
 
 from nbody_gnn_hpc_tpu.sim import accelerations, total_momentum
 from nbody_gnn_hpc_tpu.sim.reference_f64 import accelerations_f64
+
+# Heavy equivalence/property sweeps: full-suite only (pyproject addopts
+# deselects 'slow' by default; run with -m '').
+pytestmark = pytest.mark.slow
 
 # Particle systems: modest N, positions within a few orders of magnitude of
 # the production box, strictly positive masses.

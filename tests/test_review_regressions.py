@@ -1,5 +1,6 @@
 """Regressions for code-review findings (round 1)."""
 
+import pytest
 import numpy as np
 
 from nbody_gnn_hpc_tpu.sim import NBodySimulator, run_trajectory
@@ -44,6 +45,7 @@ def test_run_partial_tail_matches_stepwise():
     np.testing.assert_allclose(a.positions, b.positions, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_validation_covers_tail_samples(tmp_path, rng):
     """Val loss includes the final partial batch (reference's non-drop_last
     loader, train.py:448-467)."""
