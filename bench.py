@@ -43,15 +43,19 @@ REPS = 20
 BASELINE_SIM_STEPS_PER_SEC = 12_000.0
 
 
-def _probe_backend(timeout_s=300.0):
+def _probe_backend(timeout_s=None):
     """Fail fast if the device backend is unresponsive.
 
     The axon tunnel can go down for an hour+ (observed; see
     .claude/skills/verify/SKILL.md): every readback then hangs forever.
     Require a trivial matmul to round-trip within timeout_s before starting
     the real benchmark, so an outage produces a clear error instead of an
-    indefinite hang. 300s covers a cold compile of the probe over the tunnel.
+    indefinite hang. The default 300s covers a cold compile of the probe
+    over the tunnel; NBODY_BENCH_PROBE_TIMEOUT overrides it (e.g. a driver
+    with a generous timeout can wait out the tail of an outage).
     """
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("NBODY_BENCH_PROBE_TIMEOUT", 300))
     done = threading.Event()
 
     def work():

@@ -139,6 +139,8 @@ def main():
     work = [todo for todo in plans if todo]
     next_dispatch = 0
     done_sims = 0
+    batch_stats = []  # per-batch (fetch_stall_s, save_s) — overlap evidence
+    import time as _time
     while inflight or next_dispatch < len(work):
         while (next_dispatch < len(work)
                and len(inflight) < max(1, args.prefetch)):
@@ -147,11 +149,14 @@ def main():
                                  dispatch(work[next_dispatch])))
             next_dispatch += 1
         todo, device_traj = inflight.pop(0)
+        t0 = _time.perf_counter()
         with timer.stage("fetch"):
             traj = fetch_host_trajectory(device_traj)
+        t_fetch = _time.perf_counter() - t0
         done_sims += len(todo)
         print(f"  Simulated {done_sims} new sims "
               f"(+{total_skipped} resumed); writing...")
+        t0 = _time.perf_counter()
         with timer.stage("save"):
             for j, sim_idx in enumerate(todo):
                 sl = trajectory_slice(traj, j)
@@ -164,8 +169,25 @@ def main():
                     "positions": sl.positions, "velocities": sl.velocities,
                     "masses": sl.masses,
                     "n_steps": sl.positions.shape[0]}
+        batch_stats.append((t_fetch, _time.perf_counter() - t0))
     if total_skipped:
         print(f"  Already complete: skipped {total_skipped} sims")
+    if len(batch_stats) > 1:
+        # Dispatch/fetch/write overlap evidence (device execution is async;
+        # --prefetch keeps batches in flight while the host writes HDF5).
+        # Steady-state fetch stall ~= transfer-only means device compute is
+        # fully hidden behind the previous batch's write; the first batch's
+        # stall includes compile + pipeline fill and is reported separately.
+        steady = sorted(f for f, _ in batch_stats[1:])
+        stall = sum(steady)
+        writes = sum(s for _, s in batch_stats)
+        print(f"  Pipeline overlap ({len(batch_stats)} batches, prefetch "
+              f"{args.prefetch}): first fetch {batch_stats[0][0]:.1f}s "
+              f"(compile+fill), steady-state fetch stalls "
+              f"p50 {steady[len(steady) // 2]:.2f}s / "
+              f"max {steady[-1]:.2f}s / total {stall:.1f}s; "
+              f"host writes {writes:.1f}s overlapped with device compute "
+              f"(stall/write ratio {stall / max(writes, 1e-9):.2f})")
 
     n_train = int(0.8 * args.simulations)
 
