@@ -104,7 +104,30 @@ def main() -> int:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
-    devices = jax.devices()
+        devices = jax.devices()
+    else:
+        # auto/tpu initialize the real backend — which can hang indefinitely
+        # during a tunnel outage. Discover under a watchdog; on timeout,
+        # auto falls back to the scrubbed virtual CPU mesh (tpu errors out).
+        import threading
+
+        found = []
+        done = threading.Event()
+
+        def discover():
+            found.extend(jax.devices())
+            done.set()
+
+        threading.Thread(target=discover, daemon=True).start()
+        if not done.wait(180.0):
+            if args.platform == "tpu":
+                print("ERROR: device discovery hung >180s (backend outage?)"
+                      " — aborting (--platform tpu)", file=sys.stderr)
+                return 4
+            print("# device discovery hung >180s (backend outage?); "
+                  "falling back to the virtual CPU mesh")
+            return reexec_cpu(args)
+        devices = found
     if len(devices) < args.devices:
         if args.platform == "tpu":
             print(f"ERROR: --platform tpu but only {len(devices)} device(s) "
