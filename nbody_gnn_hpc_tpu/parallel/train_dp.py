@@ -29,7 +29,10 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
                        impl: str = "gspmd"):
     """Build a jitted data-parallel train step.
 
-    Args mirror :func:`make_train_step` plus ``mesh`` (1-D, axis 'data').
+    Args mirror :func:`make_train_step` plus ``mesh`` — 1-D ('data') or the
+    2-D ('dcn', 'data') hybrid mesh from :func:`make_hybrid_mesh`; the batch
+    is sharded over every mesh axis, so on a multi-slice pod the gradient
+    reduction is hierarchical (ICI within a slice, one DCN pass across).
 
     ``impl`` selects how the batch is split:
 
@@ -73,22 +76,30 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
         from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
+        axes = tuple(mesh.axis_names)
+
         def local_step(params, opt_state, s, t, key):
-            key = jax.random.fold_in(key, jax.lax.axis_index("data"))
+            # Flat device index over the (possibly hybrid) mesh; for a 1-D
+            # mesh this is exactly axis_index('data'), keeping the certified
+            # single-axis RNG streams bit-identical.
+            idx = jax.lax.axis_index(axes[0])
+            for a in axes[1:]:
+                idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+            key = jax.random.fold_in(key, idx)
 
             def loss_fn(p):
                 total, _ = base_step.compute_loss(p, s, t, key)
                 return total
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
-            grads = jax.lax.pmean(grads, "data")
-            loss = jax.lax.pmean(loss, "data")
+            grads = jax.lax.pmean(grads, axes)
+            loss = jax.lax.pmean(loss, axes)
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
         return jax.jit(shard_map(
             local_step, mesh=mesh,
-            in_specs=(P(), P(), P("data"), P("data"), P()),
+            in_specs=(P(), P(), P(axes), P(axes), P()),
             out_specs=(P(), P(), P()),
             check_rep=False))
 
