@@ -133,6 +133,87 @@ def certify_multichip(n_devices: int) -> Dict[str, float]:
             "n_ensemble_sims": float(len(seeds))}
 
 
+def certify_hybrid(n_devices: int, n_slices: int = 2) -> Dict[str, float]:
+    """Multi-slice readiness: a 2-D (dcn, data) hybrid mesh — an emulated
+    ``n_slices``-slice pod over whatever devices exist (real slices are
+    auto-detected by ``make_hybrid_mesh`` on multi-slice hardware) — must
+    reproduce single-device math for gspmd DP, shard_map DP, and the
+    sharded ensemble datagen.  Small model: this certifies the mesh
+    plumbing, not kernel perf."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nbody_gnn_hpc_tpu.models import NBodyGNN, init_model
+    from nbody_gnn_hpc_tpu.ops import fully_connected_edge_index
+    from nbody_gnn_hpc_tpu.parallel import (make_dp_train_step,
+                                            make_hybrid_mesh, make_mesh,
+                                            simulate_ensemble)
+    from nbody_gnn_hpc_tpu.sim import shared_masses as mk_masses
+    from nbody_gnn_hpc_tpu.train.steps import make_train_step
+
+    if n_devices % n_slices:
+        raise ValueError(f"{n_devices} devices not divisible into "
+                         f"{n_slices} emulated slices")
+    mesh = make_hybrid_mesh(n_slices=n_slices)
+    assert dict(mesh.shape) == {"dcn": n_slices, "data": n_devices // n_slices}
+
+    n, b = 6, 2 * n_devices
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1, output_dim=6,
+                     dropout=0.0, remat=False)
+    edge_index = jnp.asarray(fully_connected_edge_index(n))
+    params = init_model(model, jax.random.PRNGKey(0), n,
+                        int(edge_index.shape[1]))
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+    masses = jnp.asarray(rng.uniform(1e10, 1e12, n), jnp.float32)
+    states = jnp.asarray(rng.randn(b, n, 6), jnp.float32)
+    targets = jnp.asarray(rng.randn(b, n, 6), jnp.float32)
+    common = dict(state_mean=jnp.zeros(6), state_std=jnp.ones(6),
+                  mass_feat=(masses / masses.mean())[:, None],
+                  noise_std=0.0, masses=masses)
+    key = jax.random.PRNGKey(7)
+
+    _, _, l_ref = make_dp_train_step(model, tx, edge_index,
+                                     mesh=make_mesh(1), **common)(
+        params, opt_state, states, targets, key)
+    _, _, l_g = make_dp_train_step(model, tx, edge_index, mesh=mesh,
+                                   **common)(
+        params, opt_state, states, targets, key)
+    l_ref, l_g = float(l_ref), float(l_g)
+    assert abs(l_g - l_ref) <= 1e-5 * abs(l_ref), \
+        f"hybrid gspmd loss {l_g!r} != 1-dev {l_ref!r}"
+
+    _, _, l_sm = make_dp_train_step(model, tx, edge_index, mesh=mesh,
+                                    impl="shard_map", **common)(
+        params, opt_state, states, targets, key)
+    _, _, l_b = jax.jit(make_train_step(
+        model, tx, edge_index, common["state_mean"], common["state_std"],
+        common["mass_feat"], noise_std=0.0, masses=masses))(
+        params, opt_state, states, targets, key)
+    l_sm, l_b = float(l_sm), float(l_b)
+    assert abs(l_sm - l_b) <= 1e-6 * abs(l_b), \
+        f"hybrid shard_map loss {l_sm!r} != single-device {l_b!r}"
+
+    seeds = list(range(42, 42 + n_devices + 1))
+    sm = mk_masses(8, seed=42)
+    traj = simulate_ensemble(seeds, 8, 4, box_size=5.0, dt=1e-3,
+                             shared_masses=sm, mesh=mesh)
+    traj_1 = simulate_ensemble(seeds, 8, 4, box_size=5.0, dt=1e-3,
+                               shared_masses=sm, mesh=make_mesh(1))
+    np.testing.assert_allclose(np.asarray(traj.positions),
+                               np.asarray(traj_1.positions),
+                               rtol=2e-5, atol=1e-5)
+
+    print(f"certify_hybrid({n_devices}): (dcn={n_slices}, "
+          f"data={n_devices // n_slices}) mesh ok — gspmd {l_g:.6f} == "
+          f"1-dev, shard_map {l_sm:.6f} == jit, sharded ensemble == "
+          f"unsharded ({len(seeds)} sims)")
+    return {"loss_gspmd": l_g, "loss_1dev": l_ref,
+            "loss_shard_map": l_sm, "loss_base": l_b}
+
+
 def replica_pool_exercise(n_devices: int, tmpdir: str) -> Dict[str, float]:
     """Serving DP smoke: one device-pinned replica per device, concurrent
     rollouts from distinct threads, every result identical to the

@@ -8,9 +8,13 @@ v5e-8 the day it appears):
      bitwise-class; shard_map step == plain jitted step; mesh-sharded
      ensemble datagen == unsharded) — the same certification the driver's
      ``__graft_entry__.dryrun_multichip`` records.
-  2. A replica-pool serving exercise: one device-pinned replica per device,
+  2. Multi-slice hybrid-mesh certification (meshes of >=4 devices): the
+     2-D (dcn, data) mesh — an emulated 2-slice pod here, real slices
+     auto-detected on multi-slice hardware — reproduces single-device math
+     for both DP impls and the sharded datagen.
+  3. A replica-pool serving exercise: one device-pinned replica per device,
      concurrent rollouts, every answer identical to the single service.
-  3. A DP scaling table at 1, 2, 4, ... devices: gspmd vs shard_map
+  4. A DP scaling table at 1, 2, 4, ... devices: gspmd vs shard_map
      train-step throughput + sharded datagen throughput, ending with the
      measured pick of the DP default.
 
@@ -147,7 +151,8 @@ def main() -> int:
     print(f"multichip_smoke: {args.devices}-device mesh on "
           f"{sorted(platforms)} ({devices[0].device_kind})")
 
-    from nbody_gnn_hpc_tpu.parallel.smoke import (certify_multichip,
+    from nbody_gnn_hpc_tpu.parallel.smoke import (certify_hybrid,
+                                                  certify_multichip,
                                                   replica_pool_exercise,
                                                   scaling_table)
 
@@ -158,15 +163,21 @@ def main() -> int:
     stages.append("1. DP certification (gspmd == 1-dev, shard_map == "
                   "jit, sharded ensemble == unsharded)")
 
+    if args.devices >= 4 and args.devices % 2 == 0:
+        certify_hybrid(args.devices, n_slices=2)
+        stages.append(f"{len(stages) + 1}. multi-slice hybrid mesh "
+                      f"(2-slice (dcn, data) emulation == single-device)")
+
     with tempfile.TemporaryDirectory() as tmp:
         replica_pool_exercise(args.devices, tmp)
-    stages.append(f"2. replica-pool serving ({2 * args.devices} concurrent "
-                  f"rollouts == single-service)")
+    stages.append(f"{len(stages) + 1}. replica-pool serving "
+                  f"({2 * args.devices} concurrent rollouts == "
+                  f"single-service)")
 
     if not args.skip_scaling:
         rows = scaling_table(args.devices, reps=args.reps)
-        stages.append(f"3. DP scaling table ({len(rows)} mesh sizes, "
-                      f"gspmd + shard_map + sharded datagen)")
+        stages.append(f"{len(stages) + 1}. DP scaling table ({len(rows)} "
+                      f"mesh sizes, gspmd + shard_map + sharded datagen)")
 
     print(f"\nMULTICHIP SMOKE: ALL {len(stages)} STAGES PASSED "
           f"({time.time() - t0:.1f}s, {args.devices} devices, "

@@ -267,9 +267,11 @@ def test_run_demo_production_mode_wiring():
 @pytest.mark.slow
 def test_multichip_smoke_cli(tmp_path):
     """One-command multi-chip readiness check (VERDICT r3 item 4): DP
-    certification + replica-pool serving on the virtual 8-device CPU mesh.
-    Scaling table skipped here (it re-times every mesh size; the wiring is
-    the same code path certify/scale share)."""
+    certification + multi-slice hybrid-mesh certification + replica-pool
+    serving on the virtual 8-device CPU mesh. Scaling table skipped here
+    (it re-times every mesh size; the wiring is the same code path
+    certify/scale share)."""
     out = run([str(SCRIPTS / "multichip_smoke.py"), "--platform", "cpu",
                "--devices", "8", "--skip-scaling"], tmp_path)
-    assert "MULTICHIP SMOKE: ALL 2 STAGES PASSED" in out.stdout
+    assert "MULTICHIP SMOKE: ALL 3 STAGES PASSED" in out.stdout
+    assert "certify_hybrid(8)" in out.stdout
