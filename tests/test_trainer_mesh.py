@@ -49,3 +49,15 @@ def test_mesh_trainer_multiple_epochs(ds, tmp_path):
     t = make_trainer(ds, tmp_path / "c", mesh=make_mesh(4))
     losses = [t.train_epoch() for _ in range(3)]
     assert all(np.isfinite(l) for l in losses)
+
+
+def test_hybrid_mesh_trainer_epoch_matches_single_device(ds, tmp_path):
+    """The Trainer's mesh path also accepts the 2-D (dcn, data) hybrid mesh
+    (emulated 2-slice pod) with identical numerics."""
+    from nbody_gnn_hpc_tpu.parallel import make_hybrid_mesh
+
+    t1 = make_trainer(ds, tmp_path / "h1", mesh=None)
+    th = make_trainer(ds, tmp_path / "h2", mesh=make_hybrid_mesh(n_slices=2))
+    l1 = t1.train_epoch()
+    lh = th.train_epoch()
+    np.testing.assert_allclose(lh, l1, rtol=1e-4)
