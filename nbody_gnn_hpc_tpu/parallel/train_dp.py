@@ -73,7 +73,6 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
 
     if impl == "shard_map":
         import optax
-        from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
         axes = tuple(mesh.axis_names)
@@ -97,11 +96,11 @@ def make_dp_train_step(model, tx, edge_index, state_mean, state_std,
             updates, opt_state = tx.update(grads, opt_state, params)
             return optax.apply_updates(params, updates), opt_state, loss
 
-        return jax.jit(shard_map(
+        return jax.jit(jax.shard_map(
             local_step, mesh=mesh,
             in_specs=(P(), P(), P(axes), P(axes), P()),
             out_specs=(P(), P(), P()),
-            check_rep=False))
+            check_vma=False))
 
     @partial(jax.jit,
              in_shardings=(repl, repl, data_shard, data_shard, repl),
