@@ -56,12 +56,18 @@ def slice_structure(devices=None) -> Optional[Tuple[int, int]]:
     multi-slice topology (TPU ``device.slice_index``), else ``None``
     (single slice, or a platform — like the virtual CPU mesh — that has no
     slice concept)."""
+    from collections import Counter
+
     devices = jax.devices() if devices is None else list(devices)
     idx = [getattr(d, "slice_index", None) for d in devices]
     if any(i is None for i in idx):
         return None
-    n_slices = len(set(idx))
-    if n_slices <= 1 or len(devices) % n_slices:
+    counts = Counter(idx)
+    n_slices = len(counts)
+    # Require equal per-slice populations — a degraded pod with uneven
+    # slices must not be silently reshaped into a (dcn, data) grid whose
+    # inner axis crosses DCN.
+    if n_slices <= 1 or len(set(counts.values())) != 1:
         return None
     return n_slices, len(devices) // n_slices
 

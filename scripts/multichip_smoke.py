@@ -116,14 +116,27 @@ def main() -> int:
         import threading
 
         found = []
+        failed = []
         done = threading.Event()
 
         def discover():
-            found.extend(jax.devices())
-            done.set()
+            try:
+                found.extend(jax.devices())
+            except Exception as e:  # noqa: BLE001 — reported below
+                failed.append(e)
+            finally:
+                done.set()
 
         threading.Thread(target=discover, daemon=True).start()
-        if not done.wait(180.0):
+        if done.wait(180.0) and failed:
+            if args.platform == "tpu":
+                print(f"ERROR: device discovery failed: {failed[0]!r} "
+                      f"(--platform tpu)", file=sys.stderr)
+                return 4
+            print(f"# device discovery failed ({failed[0]!r}); "
+                  f"falling back to the virtual CPU mesh")
+            return reexec_cpu(args)
+        if not done.is_set():
             if args.platform == "tpu":
                 print("ERROR: device discovery hung >180s (backend outage?)"
                       " — aborting (--platform tpu)", file=sys.stderr)

@@ -162,7 +162,12 @@ def _evaluate_argv(args, cfg):
 
 
 def _require_dataset(args):
-    if args.skip_datagen and not (REPO / "data/train_dataset.h5").exists():
+    # Windowed HDF5 datasets OR a --no-windows manifest (the --production
+    # default) both satisfy the training stage (train_model.py resolves the
+    # manifest itself).
+    if args.skip_datagen and not any(
+            (REPO / p).exists() for p in ("data/train_dataset.h5",
+                                          "data/dataset_manifest.json")):
         sys.exit("Error: --skip-datagen specified but no training data found!")
 
 
