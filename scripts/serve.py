@@ -38,7 +38,13 @@ def main():
                              "(power-of-two padding buckets; 0 = off)")
     parser.add_argument("--quantize", choices=("bf16", "int8"), default=None,
                         help="Weight-only serving quantization (smaller "
-                             "resident model; int8 ~4x kernel compression)")
+                             "resident model). MEASURED SLOWER at this "
+                             "model scale on TPU (f32 5.3 vs int8 4.7 vs "
+                             "bf16 3.8 req/s, final-only 394-step protocol "
+                             "— RESULTS.md): the 2.5M-param weights are "
+                             "not the bottleneck and the per-layer "
+                             "dequant/cast adds scan work. Use only when "
+                             "resident-memory pressure matters.")
     parser.add_argument("--replicas", type=int, default=0, metavar="R",
                         help="Serving DP on a multi-device host: one "
                              "device-pinned model replica per chip, up to R "
