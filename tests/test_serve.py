@@ -881,7 +881,23 @@ def test_metrics_endpoint(server):
                 return int(line.split()[-1])
         return 0
 
+    # Observations land in the handler's `finally` AFTER the response bytes
+    # are written, so a previous test's request can still be settling when
+    # this test starts — take the baseline only once two consecutive scrapes
+    # agree (counters quiescent).
+    import time
     before = scrape()
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        time.sleep(0.05)
+        again = scrape()
+        if again == before or (
+                count(again, "/rollout", 200) == count(before, "/rollout", 200)
+                and count(again, "/rollout", 400)
+                == count(before, "/rollout", 400)):
+            before = again
+            break
+        before = again
     n0_ok = count(before, "/rollout", 200)
     n0_bad = count(before, "/rollout", 400)
 
@@ -893,7 +909,6 @@ def test_metrics_endpoint(server):
     # The observation lands in the handler's `finally` AFTER the response
     # bytes are written, so a scrape can race the last request by a few
     # microseconds — poll briefly.
-    import time
     deadline = time.time() + 5
     while time.time() < deadline:
         after = scrape()
