@@ -9,9 +9,11 @@ container is a pickle of numpy-ified JAX pytrees instead of a torch archive
 (torch is not part of this framework's compute path).
 """
 
+import json
 import pickle
+import re
 from pathlib import Path
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import numpy as np
@@ -50,3 +52,57 @@ def save_checkpoint(filepath, *, params, opt_state=None, scheduler_state=None,
 def load_checkpoint(filepath) -> Dict:
     with open(filepath, "rb") as f:
         return pickle.load(f)
+
+
+# Filenames the training loop itself writes (``Trainer.train``); resume must
+# ignore post-training artifacts (selected_model.pt, best_rollout_model.pt)
+# — those are inference promotions, not training states.
+_TRAIN_CKPT_RE = re.compile(
+    r"^(final_model|best_model|checkpoint_epoch_\d+)\.pt$")
+# Tie-break when several files record the same epoch: final_model is written
+# last (complete state at exit), a cadence checkpoint next, best_model is
+# the oldest of the three at a given epoch.
+def _tie_rank(name: str) -> int:
+    if name.startswith("final_model"):
+        return 2
+    return 1 if name.startswith("checkpoint_epoch_") else 0
+
+
+def latest_checkpoint(model_dir, backend: str = "pickle") -> Optional[str]:
+    """Filename of the training checkpoint with the highest recorded epoch.
+
+    Powers ``train_model.py --resume auto`` (crash/outage recovery): scans
+    the training loop's own artifacts — ``final_model.pt``,
+    ``checkpoint_epoch_*.pt``, ``best_model.pt`` (or the Orbax sidecar
+    index's entries under the same names) — and returns the name whose
+    stored ``scheduler_state_dict.epoch`` is largest, or ``None`` if no
+    resumable checkpoint exists. Unreadable/foreign ``.pt`` files are
+    skipped rather than fatal: a half-written file from the crashed run
+    must not block recovery.
+    """
+    model_dir = Path(model_dir)
+
+    def epoch_of(entry: Dict) -> int:
+        sched = entry.get("scheduler_state_dict") or {}
+        return int(sched.get("epoch", 0) or 0)
+
+    candidates = {}  # filename -> epoch
+    if backend == "orbax":
+        index_path = model_dir / "orbax_index.json"
+        if index_path.exists():
+            for name, entry in json.loads(index_path.read_text()).items():
+                if _TRAIN_CKPT_RE.match(name):
+                    candidates[name] = epoch_of(entry)
+    else:
+        for path in sorted(model_dir.glob("*.pt")):
+            if not _TRAIN_CKPT_RE.match(path.name):
+                continue
+            try:
+                ckpt = load_checkpoint(path)
+            except Exception:
+                continue  # truncated by the crash — skip, don't block resume
+            if isinstance(ckpt, dict) and "model_state_dict" in ckpt:
+                candidates[path.name] = epoch_of(ckpt)
+    if not candidates:
+        return None
+    return max(candidates, key=lambda n: (candidates[n], _tie_rank(n)))

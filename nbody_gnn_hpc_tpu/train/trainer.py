@@ -153,6 +153,7 @@ class Trainer:
                         "epoch_time_s": []}
         self.best_val_loss = float("inf")
         self.current_epoch = 0
+        self._watchdog = None  # armed by train(watchdog_s=...)
 
         from nbody_gnn_hpc_tpu.train.steps import make_train_step
 
@@ -266,6 +267,10 @@ class Trainer:
                 jax.lax.dynamic_slice_in_dim(batch_ids, start, size, 0))
             total += float(s)
             start += size
+            if self._watchdog is not None:
+                # float(s) above is a host readback, so the chunk's device
+                # work provably completed — an honest progress beat.
+                self._watchdog.beat()
         return total / nb
 
     def validate(self):
@@ -292,8 +297,17 @@ class Trainer:
                                           self.learning_rate))
 
     def train(self, n_epochs: int = 50, early_stopping_patience: int = 30,
-              save_every: int = 10, verbose: bool = True) -> Dict:
-        """Full training loop with early stopping (parity: ``train.py:469-535``)."""
+              save_every: int = 10, verbose: bool = True,
+              watchdog_s: Optional[float] = None) -> Dict:
+        """Full training loop with early stopping (parity: ``train.py:469-535``).
+
+        ``watchdog_s``: if set, arm a stall watchdog (see
+        :mod:`nbody_gnn_hpc_tpu.utils.watchdog`) that exits the process with
+        ``STALL_EXIT_CODE`` when no epoch chunk completes for that many
+        seconds — a backend outage mid-run then becomes a clean, resumable
+        failure (``train_model.py --resume auto``) instead of an indefinite
+        hang. Must be generous enough to cover the first chunk's compile.
+        """
         from nbody_gnn_hpc_tpu.models.gnn import count_parameters
 
         print(f"Training on {jax.default_backend()}")
@@ -305,55 +319,70 @@ class Trainer:
             print("Physics loss: DISABLED (no masses)")
         print(f"Input noise std: {self.noise_std}")
 
+        if watchdog_s is not None:
+            from nbody_gnn_hpc_tpu.utils.watchdog import Watchdog
+
+            self._watchdog = Watchdog(watchdog_s,
+                                      what="training-epoch progress").start()
         patience_counter = 0
         # Resumed runs continue the global epoch numbering (load_model
         # restores current_epoch; the optimizer's step-count schedule already
         # continues correctly — this keeps the displayed/recorded LR in sync).
         start_epoch = self.current_epoch
-        for epoch in range(n_epochs):
-            self.current_epoch = start_epoch + epoch + 1
-            # LR in effect this epoch (scheduler stepped at epoch end in the
-            # reference, so epoch e runs at lr(e), 0-indexed).
-            current_lr = float(cosine_warm_restarts(start_epoch + epoch,
-                                                    self.learning_rate))
+        try:
+            for epoch in range(n_epochs):
+                self.current_epoch = start_epoch + epoch + 1
+                # LR in effect this epoch (scheduler stepped at epoch end in
+                # the reference, so epoch e runs at lr(e), 0-indexed).
+                current_lr = float(cosine_warm_restarts(start_epoch + epoch,
+                                                        self.learning_rate))
 
-            epoch_t0 = time.time()
-            train_loss = self.train_epoch()
-            self.history["train_loss"].append(train_loss)
+                epoch_t0 = time.time()
+                train_loss = self.train_epoch()
+                self.history["train_loss"].append(train_loss)
 
-            val_loss, val_details = self.validate()
-            self.history["val_loss"].append(val_loss)
-            self.history["learning_rate"].append(current_lr)
-            self.history["energy_loss"].append(val_details.get("energy", 0))
-            self.history["momentum_loss"].append(val_details.get("momentum", 0))
-            # train_loss/val_loss above are host floats, so the device work
-            # has completed by here (the axon backend needs a readback to
-            # sync — block_until_ready is a no-op there).
-            self.history.setdefault("epoch_time_s", []).append(
-                round(time.time() - epoch_t0, 3))
+                val_loss, val_details = self.validate()
+                self.history["val_loss"].append(val_loss)
+                self.history["learning_rate"].append(current_lr)
+                self.history["energy_loss"].append(
+                    val_details.get("energy", 0))
+                self.history["momentum_loss"].append(
+                    val_details.get("momentum", 0))
+                # train_loss/val_loss above are host floats, so the device
+                # work has completed by here (the axon backend needs a
+                # readback to sync — block_until_ready is a no-op there).
+                self.history.setdefault("epoch_time_s", []).append(
+                    round(time.time() - epoch_t0, 3))
 
-            if verbose:
-                best_marker = " ★ BEST" if val_loss < self.best_val_loss else ""
-                print(f"  Epoch {self.current_epoch:3d} | "
-                      f"train: {train_loss:.4f} | val: {val_loss:.4f} | "
-                      f"E: {val_details.get('energy', 0):.4f} | "
-                      f"M: {val_details.get('momentum', 0):.4f} | "
-                      f"lr: {current_lr:.2e}{best_marker}")
+                if verbose:
+                    best_marker = (" ★ BEST"
+                                   if val_loss < self.best_val_loss else "")
+                    print(f"  Epoch {self.current_epoch:3d} | "
+                          f"train: {train_loss:.4f} | val: {val_loss:.4f} | "
+                          f"E: {val_details.get('energy', 0):.4f} | "
+                          f"M: {val_details.get('momentum', 0):.4f} | "
+                          f"lr: {current_lr:.2e}{best_marker}")
 
-            if val_loss < self.best_val_loss:
-                self.best_val_loss = val_loss
-                self.save_model("best_model.pt")
-                patience_counter = 0
-            else:
-                patience_counter += 1
+                if val_loss < self.best_val_loss:
+                    self.best_val_loss = val_loss
+                    self.save_model("best_model.pt")
+                    patience_counter = 0
+                else:
+                    patience_counter += 1
 
-            if patience_counter >= early_stopping_patience:
-                print(f"\nEarly stopping at epoch {self.current_epoch}")
-                break
+                if patience_counter >= early_stopping_patience:
+                    print(f"\nEarly stopping at epoch {self.current_epoch}")
+                    break
 
-            if (epoch + 1) % save_every == 0:
-                self.save_model(f"checkpoint_epoch_{self.current_epoch}.pt")
-
+                if (epoch + 1) % save_every == 0:
+                    self.save_model(
+                        f"checkpoint_epoch_{self.current_epoch}.pt")
+        finally:
+            # Disarm even on exceptions: a leaked armed watchdog would
+            # os._exit an otherwise-healthy process later.
+            if self._watchdog is not None:
+                self._watchdog.stop()
+                self._watchdog = None
         self.save_model("final_model.pt")
         self._save_history()
         if self._orbax is not None:

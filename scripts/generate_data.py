@@ -63,6 +63,13 @@ def main():
     parser.add_argument("--prefetch", type=int, default=2,
                         help="Device batches dispatched ahead of host "
                              "writes (HBM permitting)")
+    parser.add_argument("--watchdog", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Exit with a distinctive code if no batch "
+                             "readback completes for this many seconds "
+                             "(backend-outage stall detection; rerunning "
+                             "resumes at the file level). Must cover the "
+                             "first batch's compile time.")
     parser.add_argument("--no-windows", action="store_true",
                         help="Skip the windowed train/val HDF5 files (the "
                              "dominant datagen cost: each state is stored "
@@ -170,6 +177,12 @@ def main():
 
     writer = ThreadPoolExecutor(max_workers=1)
     pending = None  # (fetch_stall_s, Future[save_s]) of the previous batch
+    watchdog = None
+    if args.watchdog is not None and work:
+        from nbody_gnn_hpc_tpu.utils.watchdog import Watchdog
+
+        watchdog = Watchdog(args.watchdog,
+                            what="batch-readback progress").start()
     try:
         while inflight or next_dispatch < len(work):
             while (next_dispatch < len(work)
@@ -183,6 +196,8 @@ def main():
             with timer.stage("fetch"):
                 traj = fetch_host_trajectory(device_traj)
             t_fetch = _time.perf_counter() - t0
+            if watchdog is not None:
+                watchdog.beat()  # the readback completed — real progress
             done_sims += len(todo)
             print(f"  Simulated {done_sims} new sims "
                   f"(+{total_skipped} resumed); writing...")
@@ -194,6 +209,8 @@ def main():
         if pending is not None:
             batch_stats.append((pending[0], pending[1].result()))
     finally:
+        if watchdog is not None:
+            watchdog.stop()
         writer.shutdown(wait=True)
     if total_skipped:
         print(f"  Already complete: skipped {total_skipped} sims")

@@ -10,9 +10,10 @@ stage table executed by a tiny runner.
 Usage:
     python scripts/run_demo.py [--production | --reference-protocol]
                                [--skip-training] [--skip-datagen]
-                               [--no-clean] [--max-samples N]
+                               [--no-clean] [--resume] [--max-samples N]
                                [--epochs N] [--no-windows]
                                [--compression gzip|lzf|none]
+                               [--watchdog SECONDS]
                                [--f64-ground-truth]
                                [--rollout-select] [--finetune-rollout]
 
@@ -113,6 +114,8 @@ def _datagen_argv(args, cfg):
             "--compression", args.compression]
     if args.no_windows:
         argv += ["--no-windows"]
+    if args.watchdog:
+        argv += ["--watchdog", str(args.watchdog)]
     return argv
 
 
@@ -121,6 +124,10 @@ def _train_argv(args, cfg):
     argv = ["train_model.py", "--physics-loss", "--epochs", str(epochs)]
     if args.max_samples:
         argv += ["--max-samples", str(args.max_samples)]
+    if args.resume:
+        argv += ["--resume", "auto"]
+    if args.watchdog:
+        argv += ["--watchdog", str(args.watchdog)]
     return argv
 
 
@@ -213,7 +220,13 @@ def execute(stage: Stage, args: argparse.Namespace,
     proc = subprocess.run([sys.executable] + argv, cwd=REPO)
     dt = time.time() - t0
     if proc.returncode != 0:
+        from nbody_gnn_hpc_tpu.utils.watchdog import STALL_EXIT_CODE
+
         print(f"\nError: {stage.title} failed with code {proc.returncode}")
+        if proc.returncode == STALL_EXIT_CODE:
+            print("The stage's stall watchdog fired (device backend "
+                  "outage?). Once the backend recovers, rerun with "
+                  "--resume to continue from the last checkpoint.")
         sys.exit(1)
     print(f"\nCompleted in {dt:.1f}s ({dt / 60:.1f} min)")
 
@@ -237,6 +250,8 @@ def print_header(cfg: TrainingConfig) -> None:
 # Training-epoch budget of the measured production recipe (RESULTS.md:
 # 60-epoch run, 49.4 s median epoch; best-val converged by epoch 42).
 PRODUCTION_EPOCHS = 60
+# Stall-watchdog default under --production (see resolve_mode).
+PRODUCTION_WATCHDOG_S = 1800.0
 
 
 def resolve_mode(args: argparse.Namespace) -> argparse.Namespace:
@@ -258,6 +273,16 @@ def resolve_mode(args: argparse.Namespace) -> argparse.Namespace:
             args.compression = "lzf"
         if args.epochs is None:
             args.epochs = PRODUCTION_EPOCHS
+        if args.watchdog is None:
+            # Generous enough for a cold remote Mosaic compile (observed
+            # 5-15 min) yet bounded: a backend outage mid-pipeline becomes
+            # a resumable failure instead of an indefinite hang.
+            args.watchdog = PRODUCTION_WATCHDOG_S
+    if args.resume:
+        # Resuming an interrupted run must not delete its artifacts:
+        # datagen resumes at the file level, training from the newest
+        # checkpoint (train_model.py --resume auto).
+        args.no_clean = True
     if args.compression is None:
         args.compression = "gzip"  # reference-parity default
     return args
@@ -284,6 +309,20 @@ def main() -> None:
                         help="Skip data generation (reuse existing data)")
     parser.add_argument("--no-clean", action="store_true",
                         help="Do not delete previous results")
+    parser.add_argument("--resume", action="store_true",
+                        help="Continue an interrupted run: keep existing "
+                             "artifacts (implies --no-clean), resume datagen "
+                             "at the file level and training from the newest "
+                             "checkpoint to the same --epochs total. Pair "
+                             "with the same mode flags as the original run")
+    parser.add_argument("--watchdog", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Stall watchdog for the datagen/training "
+                             "stages: a stage exits with a distinctive code "
+                             "if the device makes no progress for this many "
+                             "seconds (default: off; 1800 under "
+                             "--production). Rerun with --resume after an "
+                             "outage")
     parser.add_argument("--max-samples", type=int, default=None,
                         help="Limit training samples (default: use all)")
     # Additive (beyond reference parity) production-protocol knobs:

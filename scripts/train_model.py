@@ -70,9 +70,21 @@ def build_parser():
                              "(async background writes)")
     parser.add_argument("--resume", type=str, default=None, metavar="CKPT",
                         help="Resume from a checkpoint file in --model-dir "
-                             "(e.g. final_model.pt). The reference's "
+                             "(e.g. final_model.pt), training --epochs MORE "
+                             "epochs. The special value 'auto' is crash "
+                             "recovery: pick the checkpoint with the "
+                             "highest recorded epoch and train only the "
+                             "REMAINING epochs up to --epochs total (fresh "
+                             "start if none found). The reference's "
                              "Trainer.load_model existed but no CLI wired "
                              "it up (SURVEY §5); this does.")
+    parser.add_argument("--watchdog", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Exit with a distinctive code if no epoch "
+                             "chunk completes for this many seconds "
+                             "(backend-outage stall detection; rerun with "
+                             "--resume auto to continue). Must cover the "
+                             "first chunk's compile time.")
     return parser
 
 
@@ -204,22 +216,37 @@ def main():
     )
     print(f"  Parameters:    {count_parameters(trainer.params):,}")
 
-    if args.resume:
-        trainer.load_model(args.resume)
-        print(f"  Resumed from:  {model_dir / args.resume} "
+    n_epochs = config.epochs
+    resume_name = args.resume
+    if resume_name == "auto":
+        from nbody_gnn_hpc_tpu.io.model_io import latest_checkpoint
+
+        resume_name = latest_checkpoint(model_dir, backend=args.ckpt_backend)
+        if resume_name is None:
+            print("  --resume auto: no checkpoint found; starting fresh")
+    if resume_name:
+        trainer.load_model(resume_name)
+        print(f"  Resumed from:  {model_dir / resume_name} "
               f"(epoch {trainer.current_epoch}, "
               f"best val {trainer.best_val_loss:.6f})")
+        if args.resume == "auto":
+            # Crash recovery continues to the SAME total budget; explicit
+            # --resume CKPT keeps its train-N-more semantics for fine-tuning.
+            n_epochs = max(0, config.epochs - trainer.current_epoch)
+            print(f"  Remaining:     {n_epochs} of {config.epochs} epochs")
 
     print("\nStarting training...")
-    history = trainer.train(n_epochs=config.epochs,
+    history = trainer.train(n_epochs=n_epochs,
                             early_stopping_patience=config.early_stopping,
-                            save_every=10)
+                            save_every=10,
+                            watchdog_s=args.watchdog)
 
     print("\n" + "=" * 60)
     print("TRAINING COMPLETE")
     print("=" * 60)
     print(f"  Best Val Loss:    {trainer.best_val_loss:.6f}")
-    print(f"  Final Train Loss: {history['train_loss'][-1]:.6f}")
+    if history["train_loss"]:  # empty when --resume auto had 0 remaining
+        print(f"  Final Train Loss: {history['train_loss'][-1]:.6f}")
     print(f"  Model saved to:   {model_dir}")
     print("=" * 60)
 

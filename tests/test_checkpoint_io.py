@@ -173,3 +173,53 @@ def test_model_checkpoint_roundtrip(tmp_path):
     assert ckpt["best_val_loss"] == 1.25
     assert ckpt["model_config"]["hidden_dim"] == 4
     np.testing.assert_array_equal(ckpt["norm_stats"]["state_std"], np.ones(6))
+
+
+def _write_ckpt(path, epoch):
+    save_checkpoint(path, params={"w": np.ones(2)},
+                    scheduler_state={"epoch": epoch})
+
+
+def test_latest_checkpoint_picks_highest_epoch(tmp_path):
+    from nbody_gnn_hpc_tpu.io.model_io import latest_checkpoint
+
+    assert latest_checkpoint(tmp_path) is None
+    _write_ckpt(tmp_path / "best_model.pt", 17)
+    _write_ckpt(tmp_path / "checkpoint_epoch_10.pt", 10)
+    assert latest_checkpoint(tmp_path) == "best_model.pt"
+    _write_ckpt(tmp_path / "checkpoint_epoch_20.pt", 20)
+    assert latest_checkpoint(tmp_path) == "checkpoint_epoch_20.pt"
+    _write_ckpt(tmp_path / "final_model.pt", 20)  # tie -> final wins
+    assert latest_checkpoint(tmp_path) == "final_model.pt"
+
+
+def test_latest_checkpoint_ignores_foreign_and_corrupt_files(tmp_path):
+    """Post-training promotions and half-written files from the crash must
+    not be offered as resume points."""
+    from nbody_gnn_hpc_tpu.io.model_io import latest_checkpoint
+
+    _write_ckpt(tmp_path / "selected_model.pt", 99)
+    _write_ckpt(tmp_path / "best_rollout_model.pt", 99)
+    assert latest_checkpoint(tmp_path) is None
+    _write_ckpt(tmp_path / "best_model.pt", 5)
+    (tmp_path / "final_model.pt").write_bytes(b"truncated-by-crash")
+    assert latest_checkpoint(tmp_path) == "best_model.pt"
+
+
+def test_latest_checkpoint_orbax_backend(tmp_path):
+    """Orbax keeps metadata in the sidecar index; resume reads epochs from
+    there (same filename surface as the pickle backend)."""
+    import json
+
+    from nbody_gnn_hpc_tpu.io.model_io import latest_checkpoint
+
+    assert latest_checkpoint(tmp_path, backend="orbax") is None
+    index = {"best_model.pt": {"step": 1,
+                               "scheduler_state_dict": {"epoch": 7}},
+             "checkpoint_epoch_10.pt": {"step": 2,
+                                        "scheduler_state_dict": {"epoch": 10}},
+             "selected_model.pt": {"step": 3,
+                                   "scheduler_state_dict": {"epoch": 99}}}
+    (tmp_path / "orbax_index.json").write_text(json.dumps(index))
+    assert latest_checkpoint(tmp_path, backend="orbax") == \
+        "checkpoint_epoch_10.pt"

@@ -106,6 +106,30 @@ def test_select_checkpoint(workdir):
 
 
 @pytest.mark.slow
+def test_train_resume_auto(workdir):
+    """Crash recovery: --resume auto picks the newest checkpoint and trains
+    only the REMAINING epochs to the --epochs total (runs after
+    test_full_pipeline, whose models/ holds an epoch-2 run). --watchdog
+    armed end-to-end — it must never fire on a healthy run."""
+    out = run([str(SCRIPTS / "train_model.py"), "--epochs", "4",
+               "--hidden-dim", "16", "--n-layers", "1", "--k-neighbors", "4",
+               "--batch-size", "16", "--resume", "auto", "--watchdog", "300",
+               "-d", "./data", "-o", "./models"], workdir)
+    assert "Resumed from:" in out.stdout
+    assert "Remaining:     2 of 4 epochs" in out.stdout
+    with open(workdir / "models/training_history.json") as f:
+        hist = json.load(f)
+    assert len(hist["train_loss"]) == 4  # 2 original + 2 resumed
+
+    # Already at the budget: loads, trains nothing, exits cleanly.
+    out = run([str(SCRIPTS / "train_model.py"), "--epochs", "4",
+               "--hidden-dim", "16", "--n-layers", "1", "--k-neighbors", "4",
+               "--batch-size", "16", "--resume", "auto",
+               "-d", "./data", "-o", "./models"], workdir)
+    assert "Remaining:     0 of 4 epochs" in out.stdout
+
+
+@pytest.mark.slow
 def test_merge_dataset(workdir):
     """merge_dataset rebuilds train/val sets from trajectory files, with
     masses (fixing the reference's omission)."""
@@ -224,7 +248,7 @@ def test_run_demo_production_mode_wiring():
             skip_datagen=False, no_clean=False, max_samples=None,
             epochs=None, no_windows=False, compression=None,
             f64_ground_truth=False, rollout_select=False,
-            finetune_rollout=False)
+            finetune_rollout=False, resume=False, watchdog=None)
         for flag in argv:
             setattr(ns, flag.lstrip("-").replace("-", "_"), True)
         return demo.resolve_mode(ns)

@@ -29,7 +29,9 @@ def _args(**overrides):
     defaults = dict(skip_training=False, skip_datagen=False, no_clean=False,
                     max_samples=None, epochs=None, no_windows=False,
                     compression="gzip", f64_ground_truth=False,
-                    rollout_select=False, finetune_rollout=False)
+                    rollout_select=False, finetune_rollout=False,
+                    resume=False, watchdog=None,
+                    production=False, reference_protocol=False)
     defaults.update(overrides)
     return argparse.Namespace(**defaults)
 
@@ -119,6 +121,33 @@ def test_clean_manifest_covers_selection_artifacts():
     assert "models/selected_model.pt" in patterns
     assert "models/checkpoint_selection.json" in patterns
     assert "models/best_rollout_model.pt" in patterns
+
+
+def test_resume_implies_no_clean_and_auto_checkpoint():
+    """--resume must never delete the interrupted run's artifacts, and the
+    training stage must pick up from the newest checkpoint."""
+    args = rd.resolve_mode(_args(resume=True))
+    assert args.no_clean is True
+    cfg = rd.TrainingConfig()
+    argv = rd._train_argv(args, cfg)
+    assert argv[argv.index("--resume") + 1] == "auto"
+    assert "--resume" not in rd._train_argv(rd.resolve_mode(_args()), cfg)
+
+
+def test_production_arms_the_stall_watchdog():
+    """An outage mid---production run must become a resumable failure, not
+    an indefinite hang: datagen + training get the watchdog by default."""
+    args = rd.resolve_mode(_args(production=True))
+    assert args.watchdog == rd.PRODUCTION_WATCHDOG_S
+    cfg = rd.TrainingConfig()
+    for argv in (rd._datagen_argv(args, cfg), rd._train_argv(args, cfg)):
+        assert argv[argv.index("--watchdog") + 1] == str(args.watchdog)
+    # ...and stays off outside production unless asked.
+    bare = rd.resolve_mode(_args())
+    assert bare.watchdog is None
+    assert "--watchdog" not in rd._train_argv(bare, cfg)
+    explicit = rd.resolve_mode(_args(watchdog=60.0))
+    assert "--watchdog" in rd._datagen_argv(explicit, cfg)
 
 
 def test_clean_manifest_data_entries_survive_skip_datagen():
