@@ -21,6 +21,25 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
 
+def merge_write(results, out_path):
+    """Merge ``results`` into the JSON record at ``out_path``.
+
+    Other harnesses (bench_serving.py's table, hand-recorded notes) keep
+    sections in results.json that this script does not measure — overwrite
+    only the keys measured in this run, preserve the rest.
+    """
+    merged = {}
+    if out_path.exists():
+        try:
+            merged = json.loads(out_path.read_text())
+        except (json.JSONDecodeError, OSError):
+            merged = {}
+    merged.update(results)
+    with open(out_path, "w") as f:
+        json.dump(merged, f, indent=2)
+    return merged
+
+
 def timeit(fn, sync, reps):
     fn()  # warm/compile
     sync()
@@ -69,7 +88,38 @@ def main():
           file=sys.stderr)
 
     # -- 2. batched datagen 300 x 400 x 200 ---------------------------------
+    # Production path (generate_data.py, bench.py): planes-NATIVE consumer —
+    # the saved trajectory stays in the sims-in-lanes layout on device and
+    # the HDF5 writer transposes host-side during the readback it already
+    # pays. Each rep chains on the previous rep's final planes (data
+    # dependency prevents elision); the saved stacks are real program
+    # outputs, exactly as the datagen consumer receives them.
+    from nbody_gnn_hpc_tpu.parallel import PlanesEnsemble
+    from nbody_gnn_hpc_tpu.sim.lanes import run_planes
+
     masses = shared_masses(200)
+    res2 = simulate_ensemble(list(range(42, 342)), 200, 400, box_size=10.0,
+                             dt=0.001, shared_masses=masses, layout="planes")
+    assert isinstance(res2, PlanesEnsemble)
+    gm = res2.gm
+    pl = {"pva": res2.final}
+
+    def datagen():
+        p, v, a = pl["pva"]
+        _saved, pl["pva"] = run_planes(p, v, a, gm, 0.001, 400, 1, 1e-9)
+
+    def sync2():
+        float(pl["pva"][0].sum())
+
+    dt = timeit(datagen, sync2, 10)
+    results["datagen_300x400x200"] = {
+        "seconds": round(dt, 4),
+        "sim_steps_per_sec": round(300 * 400 / dt, 1),
+        "pairs_per_sec": round(300 * 400 * 200 ** 2 / dt, 1),
+        "note": "planes-native consumer path (production datagen layout)"}
+    print("2. datagen:", results["datagen_300x400x200"], file=sys.stderr)
+
+    # -- 2b. standard-layout consumer (device-side lanes->standard convert) --
     traj = simulate_ensemble(list(range(42, 342)), 200, 400, box_size=10.0,
                              dt=0.001, shared_masses=masses)
 
@@ -80,20 +130,20 @@ def main():
 
     holder = {"s": next_state(traj)}
 
-    def datagen():
-        # sims-in-lanes integrator — the production simulate_ensemble path
+    def datagen_std():
         t = run_trajectory_batch_lanes(holder["s"], 0.001, 400, 1, 1e-9)
         holder["s"] = next_state(t)
 
-    def sync2():
+    def sync2b():
         float(holder["s"].positions.sum())
 
-    dt = timeit(datagen, sync2, 10)
-    results["datagen_300x400x200"] = {
+    dt = timeit(datagen_std, sync2b, 10)
+    results["datagen_300x400x200_standard_layout"] = {
         "seconds": round(dt, 4),
         "sim_steps_per_sec": round(300 * 400 / dt, 1),
         "pairs_per_sec": round(300 * 400 * 200 ** 2 / dt, 1)}
-    print("2. datagen:", results["datagen_300x400x200"], file=sys.stderr)
+    print("2b. datagen (standard layout):",
+          results["datagen_300x400x200_standard_layout"], file=sys.stderr)
 
     # -- 3. large-N N=10k (BH regime -> Pallas blocked all-pairs) ------------
     sim10k = NBodySimulator(n_particles=10_000, box_size=10.0, dt=0.001,
@@ -228,8 +278,7 @@ def main():
     print("5. rollout:", results["gnn_rollout_394steps"], file=sys.stderr)
 
     out_path = Path(__file__).parent / "results.json"
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2)
+    merge_write(results, out_path)
     print(json.dumps(results, indent=2))
     print(f"\nwritten to {out_path}", file=sys.stderr)
 
