@@ -147,7 +147,13 @@ class CheckpointManager:
         filepath = self.checkpoint_dir / f"{name}_trajectory.h5"
         n_steps = positions.shape[0]
         comp_kwargs = h5_compression_kwargs(compression)
-        with h5py.File(filepath, "w") as f:
+        # Write-to-temp + atomic rename: a crash mid-write (stall-watchdog
+        # os._exit while the datagen writer thread is flushing, host OOM,
+        # SIGKILL) must never leave a truncated file at the final path —
+        # resume (`trajectory_exists`) is existence-based, so a torn file
+        # there would be skipped as "done" and crash the later load.
+        tmppath = filepath.with_name(filepath.name + ".tmp")
+        with h5py.File(tmppath, "w") as f:
             f.attrs["n_steps"] = n_steps
             # float64 on disk — schema parity with checkpoint.py:197-208.
             for key, arr in (("positions", positions),
@@ -164,6 +170,7 @@ class CheckpointManager:
                     meta.attrs[key] = value if isinstance(
                         value, (int, float, str)) else json.dumps(value)
             f.attrs["created_at"] = datetime.now().isoformat()
+        os.replace(tmppath, filepath)
         return str(filepath)
 
     def load_trajectory(self, name: str) -> Dict:

@@ -10,6 +10,7 @@ container is a pickle of numpy-ified JAX pytrees instead of a torch archive
 """
 
 import json
+import os
 import pickle
 import re
 from pathlib import Path
@@ -44,8 +45,14 @@ def save_checkpoint(filepath, *, params, opt_state=None, scheduler_state=None,
     }
     if extra:
         ckpt.update(extra)
-    with open(filepath, "wb") as f:
+    # Write-to-temp + atomic rename: a crash mid-save (stall-watchdog
+    # os._exit, SIGKILL) must never leave a truncated pickle at the final
+    # path — `--resume auto` skips unreadable files, but evaluate/serve
+    # load these by name and would die on a torn best_model.pt.
+    tmppath = filepath.with_name(filepath.name + ".tmp")
+    with open(tmppath, "wb") as f:
         pickle.dump(ckpt, f, protocol=pickle.HIGHEST_PROTOCOL)
+    os.replace(tmppath, filepath)
     return str(filepath)
 
 
@@ -90,9 +97,25 @@ def latest_checkpoint(model_dir, backend: str = "pickle") -> Optional[str]:
     if backend == "orbax":
         index_path = model_dir / "orbax_index.json"
         if index_path.exists():
-            for name, entry in json.loads(index_path.read_text()).items():
-                if _TRAIN_CKPT_RE.match(name):
-                    candidates[name] = epoch_of(entry)
+            try:
+                index = json.loads(index_path.read_text())
+            except json.JSONDecodeError:
+                index = {}  # torn sidecar from the crash — no entries usable
+            for name, entry in index.items():
+                if not _TRAIN_CKPT_RE.match(name):
+                    continue
+                # The sidecar index is written synchronously but the tensor
+                # save it points at is ASYNC (Orbax): a crash between the
+                # two leaves an index entry whose step never became durable.
+                # Orbax finalizes a step by renaming its temp dir to the
+                # bare step number and writing _CHECKPOINT_METADATA, so
+                # durability is a cheap filesystem check — skip entries
+                # whose step isn't finalized instead of letting restore
+                # crash the resume.
+                step_dir = model_dir / "orbax" / str(entry.get("step"))
+                if not (step_dir / "_CHECKPOINT_METADATA").exists():
+                    continue
+                candidates[name] = epoch_of(entry)
     else:
         for path in sorted(model_dir.glob("*.pt")):
             if not _TRAIN_CKPT_RE.match(path.name):

@@ -69,7 +69,8 @@ def score_checkpoints(model, checkpoint_paths: Sequence,
                       val_states: np.ndarray, masses: np.ndarray,
                       k_neighbors: Optional[int],
                       horizon: Optional[int] = None,
-                      start_step: int = 5) -> List[Dict]:
+                      start_step: int = 5,
+                      progress_cb=None) -> List[Dict]:
     """Score checkpoints by rollout RMSE on held-out trajectories.
 
     ``val_states``: (S, T, N, 6) raw [pos, vel] ground-truth sequences
@@ -89,6 +90,9 @@ def score_checkpoints(model, checkpoint_paths: Sequence,
     382.8 vs 370.1), so the full sweep is the honest selector and still
     costs a few minutes for 8 checkpoints (one compile + 8 executions;
     352.6 s measured in-pipeline on the tunnel host).
+
+    ``progress_cb``: optional no-arg callable invoked after each
+    checkpoint's scores are read back — a stall-watchdog beat hook.
 
     Returns one dict per checkpoint: ``{"path", "position_rmse",
     "velocity_rmse"}``, in input order.
@@ -128,6 +132,10 @@ def score_checkpoints(model, checkpoint_paths: Sequence,
             "velocity_rmse": float(np.sqrt(np.mean(
                 (ai_vel - gt[..., 3:]) ** 2))),
         })
+        if progress_cb is not None:
+            # One checkpoint fully scored (the RMSE floats above forced the
+            # device readback) — a real unit of progress for stall watchdogs.
+            progress_cb()
     return results
 
 

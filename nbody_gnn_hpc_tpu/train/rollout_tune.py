@@ -93,7 +93,8 @@ def finetune_rollout(model, params, trajectories: np.ndarray,
                      n_steps: int = 1000,
                      seed: int = 0,
                      log_every: int = 100,
-                     val_fraction: float = 0.1
+                     val_fraction: float = 0.1,
+                     progress_cb=None
                      ) -> Tuple[dict, Dict[str, list]]:
     """Fine-tune ``params`` with the K-step unrolled objective.
 
@@ -101,6 +102,8 @@ def finetune_rollout(model, params, trajectories: np.ndarray,
         trajectories: (n_sims, n_saves, N, 6) raw state sequences.
         horizon: unroll length K.
         n_steps: optimizer steps.
+        progress_cb: optional no-arg callable invoked after each
+            ``log_every``-step host readback — a stall-watchdog beat hook.
 
     Returns:
         (best_params, history) — best by held-out unroll loss.
@@ -143,6 +146,8 @@ def finetune_rollout(model, params, trajectories: np.ndarray,
     best_params, best_val = params, float(eval_loss(params, data, v_si, v_ti))
     history["val_loss"].append(best_val)
     print(f"  initial unroll-{horizon} val loss: {best_val:.6f}")
+    if progress_cb is not None:
+        progress_cb()  # the compile + first readback completed
 
     for step in range(1, n_steps + 1):
         si = jnp.asarray(rng.randint(0, train_sims, batch_size))
@@ -158,5 +163,7 @@ def finetune_rollout(model, params, trajectories: np.ndarray,
                 marker = " *BEST"
             print(f"  step {step:5d} | train {float(loss):.6f} | "
                   f"val {val:.6f}{marker}")
+            if progress_cb is not None:
+                progress_cb()  # this chunk's readbacks completed
 
     return best_params, history

@@ -19,6 +19,7 @@ TPU-first deviations:
 """
 
 import json
+import os
 import time
 from pathlib import Path
 from typing import Dict, Optional
@@ -319,11 +320,11 @@ class Trainer:
             print("Physics loss: DISABLED (no masses)")
         print(f"Input noise std: {self.noise_std}")
 
-        if watchdog_s is not None:
-            from nbody_gnn_hpc_tpu.utils.watchdog import Watchdog
+        from nbody_gnn_hpc_tpu.utils.watchdog import maybe_watchdog
 
-            self._watchdog = Watchdog(watchdog_s,
-                                      what="training-epoch progress").start()
+        # None/0 -> disabled; negative -> ValueError (uniform CLI semantics).
+        self._watchdog = maybe_watchdog(watchdog_s,
+                                        what="training-epoch progress")
         patience_counter = 0
         # Resumed runs continue the global epoch numbering (load_model
         # restores current_epoch; the optimizer's step-count schedule already
@@ -377,16 +378,21 @@ class Trainer:
                 if (epoch + 1) % save_every == 0:
                     self.save_model(
                         f"checkpoint_epoch_{self.current_epoch}.pt")
+            # The end-of-training artifacts do device readbacks too
+            # (save_model numpy-ifies the params; the orbax wait blocks on
+            # async tensor writes) — an outage here would hang exactly like
+            # a mid-epoch one, so the watchdog stays armed until they are
+            # durable.
+            self.save_model("final_model.pt")
+            self._save_history()
+            if self._orbax is not None:
+                self._orbax.wait()  # async writes must be durable at exit
         finally:
             # Disarm even on exceptions: a leaked armed watchdog would
             # os._exit an otherwise-healthy process later.
             if self._watchdog is not None:
                 self._watchdog.stop()
                 self._watchdog = None
-        self.save_model("final_model.pt")
-        self._save_history()
-        if self._orbax is not None:
-            self._orbax.wait()  # async writes must be durable at exit
         return self.history
 
     # -- checkpoints (parity: train.py:537-567) --------------------------------
@@ -434,7 +440,11 @@ class Trainer:
             if self.norm_stats else None,
             "model_config": self._model_config,
         }
-        self._orbax_index_path().write_text(json.dumps(index, indent=2))
+        # Atomic sidecar write: the index gates resume (latest_checkpoint),
+        # so a crash mid-write must not tear it.
+        tmp = self._orbax_index_path().with_suffix(".json.tmp")
+        tmp.write_text(json.dumps(index, indent=2))
+        os.replace(tmp, self._orbax_index_path())
         return str(self.model_dir / "orbax" / str(self._orbax_step))
 
     def _load_orbax(self, filename: str) -> None:

@@ -37,6 +37,21 @@ import time
 STALL_EXIT_CODE = 117
 
 
+def maybe_watchdog(timeout_s, what: str = "device progress"):
+    """Arm a watchdog from a CLI flag value, with uniform semantics across
+    every entry point: ``None`` or ``0`` means disabled (returns ``None``),
+    a positive value arms and returns a started :class:`Watchdog`, and a
+    negative value is rejected loudly (``--watchdog -5`` is always a
+    mistake, never a silent no-op)."""
+    if timeout_s is None or timeout_s == 0:
+        return None
+    if timeout_s < 0:
+        raise ValueError(
+            f"watchdog timeout must be positive or 0 to disable, "
+            f"got {timeout_s}")
+    return Watchdog(timeout_s, what=what).start()
+
+
 class Watchdog:
     """Daemon-thread stall detector with an injectable exit for tests."""
 

@@ -49,6 +49,13 @@ def main():
                              "ensemble. Slower, but makes RMSE directly "
                              "comparable with the reference's published "
                              "numbers.")
+    parser.add_argument("--watchdog", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Exit with a distinctive code if the device "
+                             "makes no progress for this many seconds "
+                             "(backend-outage stall detection). Must cover "
+                             "the rollout program's compile time. "
+                             "0 disables.")
     args = parser.parse_args()
 
     model_path = Path(args.model_path)
@@ -93,6 +100,13 @@ def main():
     seq_len = 5  # rollout start (published protocol, evaluate.py:79)
     prediction_steps = args.steps - seq_len - 1
 
+    # Stall watchdog over the two device programs below (ground-truth
+    # ensemble + batched rollout): a backend outage mid-evaluation becomes
+    # a clean distinctive-code exit instead of an indefinite readback hang.
+    from nbody_gnn_hpc_tpu.utils.watchdog import maybe_watchdog
+
+    watchdog = maybe_watchdog(args.watchdog, what="evaluation progress")
+
     if args.f64_ground_truth:
         # Reference-precision oracle on the host CPU (published protocol).
         from nbody_gnn_hpc_tpu.sim import protocol_ground_truth
@@ -120,12 +134,18 @@ def main():
     except Exception as e:
         print(f"  (Plots disabled: {e})")
 
+    if watchdog is not None:
+        watchdog.beat()  # ground truths materialized on the host
+
     # All rollouts in ONE device program (vmap over test sims) — the
     # reference rolls them out one host-trip-per-step (SURVEY §3.4).
     ai_all = predictor.predict_rollout_batch(
         gt_pos[:, seq_len].astype(np.float32),
         gt_vel[:, seq_len].astype(np.float32),
         shared_masses, n_steps=prediction_steps)
+    if watchdog is not None:
+        # predict_rollout_batch returns host arrays — all device work done.
+        watchdog.stop()
 
     for i in range(args.n_test_sims):
         print(f"\n  Test {i + 1}/{args.n_test_sims}")

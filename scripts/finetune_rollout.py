@@ -55,6 +55,12 @@ def main():
     parser.add_argument("--learning-rate", "-lr", type=float, default=5e-5)
     parser.add_argument("--max-sims", type=int, default=None,
                         help="Limit trajectories loaded (memory/speed)")
+    parser.add_argument("--watchdog", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Exit with a distinctive code if no logged "
+                             "step chunk completes for this many seconds "
+                             "(backend-outage stall detection). Must cover "
+                             "each rung's compile time. 0 disables.")
     args = parser.parse_args()
 
     with open(args.config_path) as f:
@@ -92,25 +98,34 @@ def main():
 
     rungs = parse_curriculum(args.curriculum) if args.curriculum \
         else [(args.horizon, args.steps)]
-    histories = []
-    for i, (horizon, steps) in enumerate(rungs, 1):
-        print(f"Fine-tuning rung {i}/{len(rungs)}: horizon={horizon}, "
-              f"steps={steps}, batch={args.batch_size}, "
-              f"lr={args.learning_rate}")
-        params, history = finetune_rollout(
-            model, params, trajectories, norm_stats, masses,
-            k_neighbors=k_neighbors, horizon=horizon,
-            batch_size=args.batch_size, learning_rate=args.learning_rate,
-            n_steps=steps)
-        histories.append({"horizon": horizon, "steps": steps,
-                          "history": history})
+    from nbody_gnn_hpc_tpu.utils.watchdog import maybe_watchdog
 
-    save_checkpoint(args.output, params=params, norm_stats=norm_stats,
-                    history=histories[-1]["history"],
-                    model_config=model_config,
-                    extra={"finetune": {"curriculum": rungs,
-                                        "base": str(args.model_path),
-                                        "rungs": histories}})
+    watchdog = maybe_watchdog(args.watchdog, what="fine-tune step progress")
+    histories = []
+    try:
+        for i, (horizon, steps) in enumerate(rungs, 1):
+            print(f"Fine-tuning rung {i}/{len(rungs)}: horizon={horizon}, "
+                  f"steps={steps}, batch={args.batch_size}, "
+                  f"lr={args.learning_rate}")
+            params, history = finetune_rollout(
+                model, params, trajectories, norm_stats, masses,
+                k_neighbors=k_neighbors, horizon=horizon,
+                batch_size=args.batch_size, learning_rate=args.learning_rate,
+                n_steps=steps,
+                progress_cb=watchdog.beat if watchdog is not None else None)
+            histories.append({"horizon": horizon, "steps": steps,
+                              "history": history})
+        # The save numpy-ifies device params (a readback) — keep the
+        # watchdog armed until the artifact is durable.
+        save_checkpoint(args.output, params=params, norm_stats=norm_stats,
+                        history=histories[-1]["history"],
+                        model_config=model_config,
+                        extra={"finetune": {"curriculum": rungs,
+                                            "base": str(args.model_path),
+                                            "rungs": histories}})
+    finally:
+        if watchdog is not None:
+            watchdog.stop()
     print(f"Saved {args.output}")
 
 

@@ -69,7 +69,7 @@ def main():
                              "readback completes for this many seconds "
                              "(backend-outage stall detection; rerunning "
                              "resumes at the file level). Must cover the "
-                             "first batch's compile time.")
+                             "first batch's compile time. 0 disables.")
     parser.add_argument("--no-windows", action="store_true",
                         help="Skip the windowed train/val HDF5 files (the "
                              "dominant datagen cost: each state is stored "
@@ -177,12 +177,10 @@ def main():
 
     writer = ThreadPoolExecutor(max_workers=1)
     pending = None  # (fetch_stall_s, Future[save_s]) of the previous batch
-    watchdog = None
-    if args.watchdog is not None and work:
-        from nbody_gnn_hpc_tpu.utils.watchdog import Watchdog
+    from nbody_gnn_hpc_tpu.utils.watchdog import maybe_watchdog
 
-        watchdog = Watchdog(args.watchdog,
-                            what="batch-readback progress").start()
+    watchdog = maybe_watchdog(args.watchdog if work else None,
+                              what="batch-readback progress")
     try:
         while inflight or next_dispatch < len(work):
             while (next_dispatch < len(work)
@@ -203,15 +201,28 @@ def main():
                   f"(+{total_skipped} resumed); writing...")
             if pending is not None:
                 # .result() re-raises any writer-thread failure here, before
-                # more work is dispatched.
-                batch_stats.append((pending[0], pending[1].result()))
+                # more work is dispatched. Clear `pending` first so the
+                # finally block below never double-reports the same future.
+                prev, pending = pending, None
+                batch_stats.append((prev[0], prev[1].result()))
             pending = (t_fetch, writer.submit(save_batch, todo, traj))
         if pending is not None:
-            batch_stats.append((pending[0], pending[1].result()))
+            prev, pending = pending, None
+            batch_stats.append((prev[0], prev[1].result()))
     finally:
         if watchdog is not None:
             watchdog.stop()
         writer.shutdown(wait=True)
+        if pending is not None:
+            # We are unwinding on an exception (a fetch failure or
+            # interrupt) with the previous batch's write never checked —
+            # surface a writer-thread failure instead of swallowing it
+            # (a failed/partial trajectory write must not pass silently:
+            # --resume trusts what landed on disk).
+            exc = pending[1].exception()
+            if exc is not None:
+                print(f"  WARNING: trajectory write failed in the writer "
+                      f"thread: {exc!r}", file=sys.stderr)
     if total_skipped:
         print(f"  Already complete: skipped {total_skipped} sims")
     if len(batch_stats) > 1:

@@ -114,9 +114,13 @@ def _datagen_argv(args, cfg):
             "--compression", args.compression]
     if args.no_windows:
         argv += ["--no-windows"]
-    if args.watchdog:
-        argv += ["--watchdog", str(args.watchdog)]
-    return argv
+    return argv + _watchdog_argv(args)
+
+
+def _watchdog_argv(args):
+    # resolve_mode normalized 0 -> None, so a set value is always positive.
+    return (["--watchdog", str(args.watchdog)]
+            if args.watchdog is not None else [])
 
 
 def _train_argv(args, cfg):
@@ -126,9 +130,7 @@ def _train_argv(args, cfg):
         argv += ["--max-samples", str(args.max_samples)]
     if args.resume:
         argv += ["--resume", "auto"]
-    if args.watchdog:
-        argv += ["--watchdog", str(args.watchdog)]
-    return argv
+    return argv + _watchdog_argv(args)
 
 
 def _select_argv(args, cfg):
@@ -136,7 +138,7 @@ def _select_argv(args, cfg):
     # trajectories support (short-horizon scores mispredict full-horizon
     # ranking — measured, predict/selection.py docstring), and adapts to
     # whatever data --skip-datagen reuses.
-    return ["select_checkpoint.py", "--promote"]
+    return ["select_checkpoint.py", "--promote"] + _watchdog_argv(args)
 
 
 def _finetune_argv(args, cfg):
@@ -151,7 +153,7 @@ def _finetune_argv(args, cfg):
         argv += ["-m", "./models/selected_model.pt"]
     elif (REPO / "models/checkpoint_epoch_10.pt").exists():
         argv += ["-m", "./models/checkpoint_epoch_10.pt"]
-    return argv
+    return argv + _watchdog_argv(args)
 
 
 def _evaluate_argv(args, cfg):
@@ -165,7 +167,7 @@ def _evaluate_argv(args, cfg):
         argv += ["-m", "./models/selected_model.pt"]
     if args.f64_ground_truth:
         argv += ["--f64-ground-truth"]
-    return argv
+    return argv + _watchdog_argv(args)
 
 
 def _require_dataset(args):
@@ -265,6 +267,9 @@ def resolve_mode(args: argparse.Namespace) -> argparse.Namespace:
         raise SystemExit(
             "Error: --production and --reference-protocol are mutually "
             "exclusive")
+    if args.watchdog is not None and args.watchdog < 0:
+        raise SystemExit(
+            "Error: --watchdog must be positive (or 0 to disable)")
     if args.production:
         args.rollout_select = True
         args.no_windows = True
@@ -285,6 +290,11 @@ def resolve_mode(args: argparse.Namespace) -> argparse.Namespace:
         args.no_clean = True
     if args.compression is None:
         args.compression = "gzip"  # reference-parity default
+    if args.watchdog == 0:
+        # Explicit disable — uniform across every entry point (the
+        # subscripts treat 0 the same way via maybe_watchdog); note 0 also
+        # suppressed the --production default above (0 is not None).
+        args.watchdog = None
     return args
 
 
@@ -317,12 +327,13 @@ def main() -> None:
                              "with the same mode flags as the original run")
     parser.add_argument("--watchdog", type=float, default=None,
                         metavar="SECONDS",
-                        help="Stall watchdog for the datagen/training "
-                             "stages: a stage exits with a distinctive code "
-                             "if the device makes no progress for this many "
-                             "seconds (default: off; 1800 under "
-                             "--production). Rerun with --resume after an "
-                             "outage")
+                        help="Stall watchdog for every device-driving stage "
+                             "(datagen, training, selection, fine-tune, "
+                             "evaluation): a stage exits with a distinctive "
+                             "code if the device makes no progress for this "
+                             "many seconds (default: off; 1800 under "
+                             "--production; 0 disables explicitly). Rerun "
+                             "with --resume after an outage")
     parser.add_argument("--max-samples", type=int, default=None,
                         help="Limit training samples (default: use all)")
     # Additive (beyond reference parity) production-protocol knobs:

@@ -61,6 +61,13 @@ def main():
     parser.add_argument("--output", "-o", default=None,
                         help="Selection report JSON "
                              "(default <models-dir>/checkpoint_selection.json)")
+    parser.add_argument("--watchdog", type=float, default=None,
+                        metavar="SECONDS",
+                        help="Exit with a distinctive code if no checkpoint "
+                             "finishes scoring for this many seconds "
+                             "(backend-outage stall detection). Must cover "
+                             "the rollout program's compile time. "
+                             "0 disables.")
     args = parser.parse_args()
 
     with open(args.config_path) as f:
@@ -100,9 +107,18 @@ def main():
           f"rollouts on {len(val_names)} val trajectories "
           f"({', '.join(val_names)})")
 
-    scores = score_checkpoints(model, candidates, val_states, masses,
-                               k_neighbors, horizon=horizon,
-                               start_step=args.start_step)
+    from nbody_gnn_hpc_tpu.utils.watchdog import maybe_watchdog
+
+    watchdog = maybe_watchdog(args.watchdog,
+                              what="checkpoint-scoring progress")
+    try:
+        scores = score_checkpoints(
+            model, candidates, val_states, masses, k_neighbors,
+            horizon=horizon, start_step=args.start_step,
+            progress_cb=watchdog.beat if watchdog is not None else None)
+    finally:
+        if watchdog is not None:
+            watchdog.stop()  # report/promotion below are host-only
     best = select_checkpoint(scores, args.metric)
 
     print(f"\n{'checkpoint':<28} {'pos RMSE':>12} {'vel RMSE':>14}")

@@ -84,7 +84,7 @@ def build_parser():
                              "chunk completes for this many seconds "
                              "(backend-outage stall detection; rerun with "
                              "--resume auto to continue). Must cover the "
-                             "first chunk's compile time.")
+                             "first chunk's compile time. 0 disables.")
     return parser
 
 

@@ -180,6 +180,36 @@ def _write_ckpt(path, epoch):
                     scheduler_state={"epoch": epoch})
 
 
+def test_save_trajectory_is_atomic(manager, rng):
+    """Writes go to a temp name and land via os.replace: no .tmp residue
+    after a successful save, and a stale .tmp from a crashed run is simply
+    overwritten — `trajectory_exists` (the datagen resume check) can trust
+    that an existing final path is a complete file."""
+    from pathlib import Path
+
+    ckpt_dir = Path(manager.checkpoint_dir)
+    # stale temp from a previous crash must not break or survive the save
+    (ckpt_dir / "t1_trajectory.h5.tmp").write_bytes(b"torn-by-crash")
+    manager.save_trajectory(fake_trajectory_states(rng), "t1")
+    assert not list(ckpt_dir.glob("*.tmp"))
+    assert manager.trajectory_exists("t1")
+    traj = manager.load_trajectory("t1")
+    assert traj["positions"].shape == (12, 6, 3)
+    # the temp name must never satisfy the resume existence check
+    (ckpt_dir / "t2_trajectory.h5.tmp").write_bytes(b"in-flight")
+    assert not manager.trajectory_exists("t2")
+
+
+def test_save_checkpoint_is_atomic(tmp_path):
+    """Model checkpoints land via os.replace too (evaluate/serve load these
+    by name; a torn best_model.pt must be impossible)."""
+    path = tmp_path / "best_model.pt"
+    (tmp_path / "best_model.pt.tmp").write_bytes(b"stale")
+    save_checkpoint(path, params={"w": np.ones(3)})
+    assert not list(tmp_path.glob("*.tmp"))
+    assert load_checkpoint(path)["model_state_dict"]["w"].shape == (3,)
+
+
 def test_latest_checkpoint_picks_highest_epoch(tmp_path):
     from nbody_gnn_hpc_tpu.io.model_io import latest_checkpoint
 
@@ -206,6 +236,14 @@ def test_latest_checkpoint_ignores_foreign_and_corrupt_files(tmp_path):
     assert latest_checkpoint(tmp_path) == "best_model.pt"
 
 
+def _finalize_orbax_step(model_dir, step):
+    """Mimic a durable Orbax step on disk: a bare-number dir containing the
+    _CHECKPOINT_METADATA marker Orbax writes at finalization."""
+    d = model_dir / "orbax" / str(step)
+    d.mkdir(parents=True, exist_ok=True)
+    (d / "_CHECKPOINT_METADATA").write_text("{}")
+
+
 def test_latest_checkpoint_orbax_backend(tmp_path):
     """Orbax keeps metadata in the sidecar index; resume reads epochs from
     there (same filename surface as the pickle backend)."""
@@ -221,5 +259,31 @@ def test_latest_checkpoint_orbax_backend(tmp_path):
              "selected_model.pt": {"step": 3,
                                    "scheduler_state_dict": {"epoch": 99}}}
     (tmp_path / "orbax_index.json").write_text(json.dumps(index))
+    for step in (1, 2, 3):
+        _finalize_orbax_step(tmp_path, step)
     assert latest_checkpoint(tmp_path, backend="orbax") == \
         "checkpoint_epoch_10.pt"
+
+
+def test_latest_checkpoint_orbax_skips_nondurable_steps(tmp_path):
+    """The sidecar index is written synchronously but the tensor save it
+    points at is ASYNC: a crash between the two leaves an index entry whose
+    step never finalized on disk. Resume must fall back to the newest
+    DURABLE step instead of crashing in restore."""
+    import json
+
+    from nbody_gnn_hpc_tpu.io.model_io import latest_checkpoint
+
+    index = {"best_model.pt": {"step": 1,
+                               "scheduler_state_dict": {"epoch": 7}},
+             "final_model.pt": {"step": 2,
+                                "scheduler_state_dict": {"epoch": 12}}}
+    (tmp_path / "orbax_index.json").write_text(json.dumps(index))
+    _finalize_orbax_step(tmp_path, 1)
+    # step 2: in-flight temp dir only (no _CHECKPOINT_METADATA) — the state
+    # the watchdog's os._exit leaves behind mid-async-write.
+    (tmp_path / "orbax" / "2.orbax-checkpoint-tmp-123").mkdir(parents=True)
+    assert latest_checkpoint(tmp_path, backend="orbax") == "best_model.pt"
+    # torn sidecar: no usable entries, not an exception
+    (tmp_path / "orbax_index.json").write_text("{torn")
+    assert latest_checkpoint(tmp_path, backend="orbax") is None

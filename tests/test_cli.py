@@ -40,12 +40,35 @@ def workdir(tmp_path_factory):
     return tmp_path_factory.mktemp("cli")
 
 
+# Stage argv shared by test_full_pipeline and the bootstrap fixture, so a
+# dependent test run standalone sees exactly the state the full run leaves.
+DATAGEN_ARGV = ["--particles", "12", "--simulations", "5", "--steps", "30",
+                "--sequence-length", "5", "-o", "./data"]
+TRAIN_ARGV = ["--epochs", "2", "--hidden-dim", "16", "--n-layers", "1",
+              "--k-neighbors", "4", "--batch-size", "16",
+              "-d", "./data", "-o", "./models"]
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(workdir):
+    """workdir with datagen + a 2-epoch training run present.
+
+    Idempotent: a no-op when test_full_pipeline already ran here (the usual
+    file-order case), a bootstrap when a dependent test is invoked
+    standalone (``pytest tests/test_cli.py::test_train_resume_auto -m ''``)
+    — dependent tests must not fail confusingly on sibling-test ordering.
+    """
+    if not (workdir / "data/train_dataset.h5").exists():
+        run([str(SCRIPTS / "generate_data.py"), *DATAGEN_ARGV], workdir)
+    if not (workdir / "models/final_model.pt").exists():
+        run([str(SCRIPTS / "train_model.py"), *TRAIN_ARGV], workdir)
+    return workdir
+
+
 @pytest.mark.slow
 def test_full_pipeline(workdir):
     # 1. generate_data
-    run([str(SCRIPTS / "generate_data.py"), "--particles", "12",
-         "--simulations", "5", "--steps", "30", "--sequence-length", "5",
-         "-o", "./data"], workdir)
+    run([str(SCRIPTS / "generate_data.py"), *DATAGEN_ARGV], workdir)
     with h5py.File(workdir / "data/train_dataset.h5") as f:
         # 4 train sims x (31 saved states - 5) windows — the initial state
         # is saved too (nbody.py:234), mirroring the reference's 391 = 401-10.
@@ -55,15 +78,11 @@ def test_full_pipeline(workdir):
     assert (workdir / "data/checkpoints/sim_0000_trajectory.h5").exists()
 
     # resumability: rerun skips existing sims
-    out = run([str(SCRIPTS / "generate_data.py"), "--particles", "12",
-               "--simulations", "5", "--steps", "30",
-               "--sequence-length", "5", "-o", "./data"], workdir)
+    out = run([str(SCRIPTS / "generate_data.py"), *DATAGEN_ARGV], workdir)
     assert "skipped 5" in out.stdout
 
     # 2. train_model
-    run([str(SCRIPTS / "train_model.py"), "--epochs", "2", "--hidden-dim",
-         "16", "--n-layers", "1", "--k-neighbors", "4", "--batch-size", "16",
-         "-d", "./data", "-o", "./models"], workdir)
+    run([str(SCRIPTS / "train_model.py"), *TRAIN_ARGV], workdir)
     assert (workdir / "models/best_model.pt").exists()
     assert (workdir / "models/final_model.pt").exists()
     with open(workdir / "models/config.json") as f:
@@ -73,9 +92,9 @@ def test_full_pipeline(workdir):
         hist = json.load(f)
     assert len(hist["train_loss"]) == 2
 
-    # 3. evaluate
+    # 3. evaluate (--watchdog armed: must never fire on a healthy run)
     run([str(SCRIPTS / "evaluate.py"), "--n-test-sims", "2", "--particles",
-         "12", "--steps", "30"], workdir)
+         "12", "--steps", "30", "--watchdog", "300"], workdir)
     with open(workdir / "results/evaluation_results.json") as f:
         results = json.load(f)
     assert results["n_test_simulations"] == 2
@@ -91,12 +110,13 @@ def test_full_pipeline(workdir):
 
 
 @pytest.mark.slow
-def test_select_checkpoint(workdir):
+def test_select_checkpoint(trained_workdir):
     """Rollout-aware selection ranks the saved checkpoints on held-out val
-    trajectories and promotes the winner (runs after test_full_pipeline in
-    its workdir, like the other dependent stages)."""
+    trajectories and promotes the winner. --watchdog armed — it must never
+    fire on a healthy run."""
+    workdir = trained_workdir
     out = run([str(SCRIPTS / "select_checkpoint.py"), "--horizon", "8",
-               "--n-sims", "1", "--promote"], workdir)
+               "--n-sims", "1", "--promote", "--watchdog", "300"], workdir)
     assert "selected" in out.stdout
     with open(workdir / "models/checkpoint_selection.json") as f:
         report = json.load(f)
@@ -106,11 +126,12 @@ def test_select_checkpoint(workdir):
 
 
 @pytest.mark.slow
-def test_train_resume_auto(workdir):
+def test_train_resume_auto(trained_workdir):
     """Crash recovery: --resume auto picks the newest checkpoint and trains
-    only the REMAINING epochs to the --epochs total (runs after
-    test_full_pipeline, whose models/ holds an epoch-2 run). --watchdog
-    armed end-to-end — it must never fire on a healthy run."""
+    only the REMAINING epochs to the --epochs total (the fixture's models/
+    holds an epoch-2 run). --watchdog armed end-to-end — it must never fire
+    on a healthy run."""
+    workdir = trained_workdir
     out = run([str(SCRIPTS / "train_model.py"), "--epochs", "4",
                "--hidden-dim", "16", "--n-layers", "1", "--k-neighbors", "4",
                "--batch-size", "16", "--resume", "auto", "--watchdog", "300",
@@ -130,9 +151,10 @@ def test_train_resume_auto(workdir):
 
 
 @pytest.mark.slow
-def test_merge_dataset(workdir):
+def test_merge_dataset(trained_workdir):
     """merge_dataset rebuilds train/val sets from trajectory files, with
     masses (fixing the reference's omission)."""
+    workdir = trained_workdir
     run([str(SCRIPTS / "merge_dataset.py"), "-o", "./data",
          "--sequence-length", "5"], workdir)
     with h5py.File(workdir / "data/train_dataset.h5") as f:

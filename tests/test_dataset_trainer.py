@@ -168,6 +168,36 @@ def test_early_stopping(dataset_paths, tmp_path):
     assert len(history["train_loss"]) == 3
 
 
+def test_watchdog_covers_final_saves(dataset_paths, tmp_path):
+    """The watchdog must stay armed through the end-of-training artifacts
+    (final_model.pt numpy-ifies device params — a readback that can wedge
+    on an outage exactly like a mid-epoch one) and be disarmed by the time
+    train() returns."""
+    train, val = dataset_paths
+    ds_train = GNNDataset(train, k_neighbors=3)
+    ds_val = GNNDataset(val, k_neighbors=3,
+                        external_norm_stats=ds_train.get_normalization_stats())
+    model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1,
+                     output_dim=6, dropout=0.0)
+    trainer = Trainer(model, ds_train, ds_val, model_dir=str(tmp_path),
+                      batch_size=16, noise_std=0.0)
+    armed_at_final = []
+    orig_save = trainer.save_model
+
+    def spying_save(filename):
+        if filename == "final_model.pt":
+            armed_at_final.append(trainer._watchdog is not None)
+        return orig_save(filename)
+
+    trainer.save_model = spying_save
+    trainer.train(n_epochs=1, verbose=False, watchdog_s=600.0)
+    assert armed_at_final == [True]
+    assert trainer._watchdog is None  # disarmed before returning
+    # watchdog_s=0 is an explicit disable, not a ValueError
+    trainer.train(n_epochs=1, verbose=False, watchdog_s=0)
+    assert trainer._watchdog is None
+
+
 def test_mse_only_mode(dataset_paths, tmp_path):
     train, _ = dataset_paths
     ds_train = GNNDataset(train, k_neighbors=3)

@@ -44,8 +44,12 @@ def test_finetune_reduces_unroll_loss(rng):
             "state_std": trajs.reshape(-1, 6).std(0) + 1e-6}
     masses = rng.rand(n).astype(np.float32)
 
+    beats = []
     best, history = finetune_rollout(
         model, params, trajs, norm, masses, k_neighbors=None, horizon=4,
-        batch_size=4, learning_rate=1e-3, n_steps=30, log_every=10)
+        batch_size=4, learning_rate=1e-3, n_steps=30, log_every=10,
+        progress_cb=lambda: beats.append(1))
     assert history["val_loss"][-1] < history["val_loss"][0]
     assert all(np.isfinite(v) for v in history["val_loss"])
+    # stall-watchdog beats: initial eval + one per log_every chunk
+    assert len(beats) == 1 + 30 // 10

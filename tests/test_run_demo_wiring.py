@@ -136,18 +136,39 @@ def test_resume_implies_no_clean_and_auto_checkpoint():
 
 def test_production_arms_the_stall_watchdog():
     """An outage mid---production run must become a resumable failure, not
-    an indefinite hang: datagen + training get the watchdog by default."""
-    args = rd.resolve_mode(_args(production=True))
+    an indefinite hang: EVERY device-driving stage gets the watchdog by
+    default (an outage during evaluation or selection hangs a readback
+    exactly like one during training)."""
+    args = rd.resolve_mode(_args(production=True, finetune_rollout=True))
     assert args.watchdog == rd.PRODUCTION_WATCHDOG_S
     cfg = rd.TrainingConfig()
-    for argv in (rd._datagen_argv(args, cfg), rd._train_argv(args, cfg)):
-        assert argv[argv.index("--watchdog") + 1] == str(args.watchdog)
+    for argv in (rd._datagen_argv(args, cfg), rd._train_argv(args, cfg),
+                 rd._select_argv(args, cfg), rd._finetune_argv(args, cfg),
+                 rd._evaluate_argv(args, cfg)):
+        assert argv[argv.index("--watchdog") + 1] == str(args.watchdog), argv
     # ...and stays off outside production unless asked.
     bare = rd.resolve_mode(_args())
     assert bare.watchdog is None
     assert "--watchdog" not in rd._train_argv(bare, cfg)
     explicit = rd.resolve_mode(_args(watchdog=60.0))
     assert "--watchdog" in rd._datagen_argv(explicit, cfg)
+
+
+def test_watchdog_zero_disables_everywhere():
+    """--watchdog 0 is an explicit disable, not a silently-dropped value —
+    including under --production (the only spelling to opt out of its
+    default) — and negatives are rejected loudly."""
+    import pytest
+
+    cfg = rd.TrainingConfig()
+    off = rd.resolve_mode(_args(watchdog=0.0))
+    assert off.watchdog is None
+    assert "--watchdog" not in rd._train_argv(off, cfg)
+    prod_off = rd.resolve_mode(_args(production=True, watchdog=0.0))
+    assert prod_off.watchdog is None
+    assert "--watchdog" not in rd._datagen_argv(prod_off, cfg)
+    with pytest.raises(SystemExit):
+        rd.resolve_mode(_args(watchdog=-1.0))
 
 
 def test_clean_manifest_data_entries_survive_skip_datagen():

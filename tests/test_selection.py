@@ -58,8 +58,12 @@ def test_identity_beats_perturbed(model, ckpts, val_states):
     _, paths = ckpts
     masses = np.random.RandomState(1).uniform(1e10, 1e12, N).astype(
         np.float32)
+    beats = []
     scores = score_checkpoints(model, paths, val_states, masses,
-                               k_neighbors=K, horizon=5, start_step=2)
+                               k_neighbors=K, horizon=5, start_step=2,
+                               progress_cb=lambda: beats.append(1))
+    # one stall-watchdog beat per fully-scored checkpoint
+    assert len(beats) == len(paths)
     assert [s["path"] for s in scores] == [str(p) for p in paths]
     assert scores[0]["position_rmse"] < 1e-3          # identity: ~exact
     assert scores[1]["position_rmse"] > scores[0]["position_rmse"]

@@ -8,7 +8,8 @@ import time
 
 import pytest
 
-from nbody_gnn_hpc_tpu.utils.watchdog import STALL_EXIT_CODE, Watchdog
+from nbody_gnn_hpc_tpu.utils.watchdog import (STALL_EXIT_CODE, Watchdog,
+                                              maybe_watchdog)
 
 
 class _ExitRecorder:
@@ -58,6 +59,22 @@ def test_context_exit_disarms_even_on_exception():
 def test_rejects_nonpositive_timeout():
     with pytest.raises(ValueError):
         Watchdog(0.0)
+
+
+def test_maybe_watchdog_cli_semantics():
+    """Uniform --watchdog flag semantics across every entry point:
+    None/0 -> disabled, positive -> armed, negative -> loud error."""
+    assert maybe_watchdog(None) is None
+    assert maybe_watchdog(0) is None
+    assert maybe_watchdog(0.0) is None
+    with pytest.raises(ValueError):
+        maybe_watchdog(-5.0)
+    wd = maybe_watchdog(60.0, what="unit test")
+    try:
+        assert isinstance(wd, Watchdog)
+        assert wd._thread is not None  # armed, not just constructed
+    finally:
+        wd.stop()
 
 
 def test_start_is_idempotent():
