@@ -32,24 +32,57 @@ def compute_mae(predicted: np.ndarray, target: np.ndarray,
 
 def compute_energy_error(positions: np.ndarray, velocities: np.ndarray,
                          masses: np.ndarray, G: float = 6.67430e-11,
-                         softening: float = 1e-9
+                         softening: float = 1e-9, *,
+                         max_chunk_bytes: int = 2 ** 28
                          ) -> Tuple[np.ndarray, float]:
     """Total energy per step + max relative error vs initial
-    (parity: ``metrics.py:62-109``), fully vectorized over time."""
-    n_steps = positions.shape[0]
+    (parity: ``metrics.py:62-109``).
+
+    Vectorized over a time *chunk* rather than the whole trajectory: the
+    reference loops per timestep and peaks at one ``(N, N, 3)`` slab
+    (``metrics.py:85-104``); a fully time-vectorized form needs
+    ``O(T * N^2)`` host RAM (terabytes at the N=5000, ~400-step BH-regime
+    evaluations this framework runs).  Here peak memory is three
+    ``(chunk, N, N)`` float64 slabs, with ``chunk`` sized so one slab stays
+    under ``max_chunk_bytes`` (default 256 MiB).  Per-timestep reductions
+    are unchanged, so results are bitwise identical to the unchunked form.
+    """
+    n_steps, n = positions.shape[0], positions.shape[1]
     m = np.asarray(masses, np.float64)
     pos = np.asarray(positions, np.float64)
     vel = np.asarray(velocities, np.float64)
 
     kinetic = 0.5 * np.sum(m[None, :] * np.sum(vel ** 2, axis=-1), axis=-1)
 
-    diff = pos[:, :, None, :] - pos[:, None, :, :]
-    dist_sq = np.sum(diff ** 2, axis=-1)
-    inv_r = 1.0 / np.sqrt(dist_sq + softening ** 2)
-    idx = np.arange(pos.shape[1])
-    inv_r[:, idx, idx] = 0.0
+    slab_bytes = n * n * 8
+    chunk = int(max(1, min(n_steps, max_chunk_bytes // max(slab_bytes, 1))))
     m_matrix = np.outer(m, m)
-    potential = -0.5 * G * np.sum(m_matrix[None] * inv_r, axis=(1, 2))
+    idx = np.arange(n)
+    potential = np.empty(n_steps, np.float64)
+    # Three preallocated (chunk, N, N) slabs, reused across chunks; every
+    # op below writes into them (`out=`) so the hot loop allocates nothing.
+    buf = np.empty((chunk, n, n), np.float64)
+    tmp = np.empty((chunk, n, n), np.float64)
+    acc = np.empty((chunk, n, n), np.float64)
+    for t0 in range(0, n_steps, chunk):
+        p = pos[t0:t0 + chunk]
+        c = p.shape[0]
+        b, tm, ds = buf[:c], tmp[:c], acc[:c]
+        # Accumulate dist_sq per coordinate axis: same ((x^2+y^2)+z^2)
+        # order as np.sum(diff**2, axis=-1) without the (chunk, N, N, 3)
+        # displacement tensor.
+        np.subtract(p[:, :, None, 0], p[:, None, :, 0], out=b)
+        np.multiply(b, b, out=ds)
+        for ax in (1, 2):
+            np.subtract(p[:, :, None, ax], p[:, None, :, ax], out=b)
+            np.multiply(b, b, out=tm)
+            np.add(ds, tm, out=ds)
+        np.add(ds, softening ** 2, out=ds)
+        np.sqrt(ds, out=ds)
+        np.divide(1.0, ds, out=ds)  # ds is now inv_r
+        ds[:, idx, idx] = 0.0
+        np.multiply(ds, m_matrix[None], out=ds)
+        potential[t0:t0 + chunk] = -0.5 * G * ds.sum(axis=(1, 2))
 
     energies = kinetic + potential
     relative_error = np.abs((energies - energies[0]) / energies[0])

