@@ -18,6 +18,14 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Keep CPU test compiles out of the shared .jax_cache namespace: entries
+# AOT-compiled on another host's CPU (different vector features) trigger
+# loader warnings and risk SIGILL. Tests cache per-host instead.
+os.environ.setdefault(
+    "NBODY_GNN_TPU_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache", f"cpu-{os.uname().nodename}"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
