@@ -26,17 +26,30 @@ def merge_write(results, out_path):
 
     Other harnesses (bench_serving.py's table, hand-recorded notes) keep
     sections in results.json that this script does not measure — overwrite
-    only the keys measured in this run, preserve the rest.
+    only the keys measured in this run, preserve the rest.  Each dict-valued
+    section measured in THIS run is stamped with ``measured_at`` so merged
+    leftovers from renamed/removed metrics are identifiable as stale.
+    The write is atomic (temp file + ``os.replace``): a crash mid-dump must
+    not tear the accumulated record.
     """
+    import os
+    import time
+
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     merged = {}
     if out_path.exists():
         try:
             merged = json.loads(out_path.read_text())
         except (json.JSONDecodeError, OSError):
             merged = {}
-    merged.update(results)
-    with open(out_path, "w") as f:
+    for key, value in results.items():
+        if isinstance(value, dict):
+            value = dict(value, measured_at=stamp)
+        merged[key] = value
+    tmp = out_path.with_name(out_path.name + ".tmp")
+    with open(tmp, "w") as f:
         json.dump(merged, f, indent=2)
+    os.replace(tmp, out_path)
     return merged
 
 

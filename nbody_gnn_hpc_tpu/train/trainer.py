@@ -384,7 +384,7 @@ class Trainer:
             # a mid-epoch one, so the watchdog stays armed until they are
             # durable.
             self.save_model("final_model.pt")
-            self._save_history()
+            self._save_history(completed=True)
             if self._orbax is not None:
                 self._orbax.wait()  # async writes must be durable at exit
         finally:
@@ -508,6 +508,14 @@ class Trainer:
         sched = ckpt.get("scheduler_state_dict") or {}
         self.current_epoch = int(sched.get("epoch", 0))
 
-    def _save_history(self) -> None:
+    def _save_history(self, completed: bool = False) -> None:
+        """Persist the history; ``completed=True`` additionally stamps a
+        marker so ``train_model.py --resume auto`` can tell an early-stopped
+        run (0 remaining epochs) from a crashed one. The marker lives ONLY
+        in the JSON file — never in ``self.history`` — so checkpoints saved
+        mid-run (which embed the history) can never carry a stale one."""
+        payload = dict(self.history)
+        if completed:
+            payload["completed"] = True
         with open(self.model_dir / "training_history.json", "w") as f:
-            json.dump(self.history, f, indent=2)
+            json.dump(payload, f, indent=2)

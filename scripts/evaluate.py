@@ -112,10 +112,13 @@ def main():
         from nbody_gnn_hpc_tpu.sim import protocol_ground_truth
 
         print("  (ground truth: float64 host oracle)")
+        # Host-only work: beat the watchdog per completed sim so a slow
+        # (but healthy) oracle is not mistaken for a device stall.
         gt_pos, gt_vel, _ = protocol_ground_truth(
             n_test_sims=args.n_test_sims, n_particles=args.particles,
             n_steps=args.steps, dt=0.001, box_size=10.0, seed=args.seed,
-            verbose=True)
+            verbose=True,
+            progress_cb=watchdog.beat if watchdog is not None else None)
     else:
         # All ground truths in one sharded ensemble program (f32, on device).
         ensemble = simulate_ensemble(

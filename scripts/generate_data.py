@@ -160,6 +160,10 @@ def main():
     import time as _time
 
     def save_batch(todo, traj):
+        # Runs on the writer thread and mutates `in_memory` and the shared
+        # StageTimer — race-free ONLY under the single-writer invariant
+        # (max_workers=1 below): the main thread touches both only after
+        # .result()/.shutdown(), and no two saves ever run concurrently.
         t0 = _time.perf_counter()
         with timer.stage("save"):
             for j, sim_idx in enumerate(todo):
@@ -175,7 +179,7 @@ def main():
                     "n_steps": sl.positions.shape[0]}
         return _time.perf_counter() - t0
 
-    writer = ThreadPoolExecutor(max_workers=1)
+    writer = ThreadPoolExecutor(max_workers=1)  # see save_batch invariant
     pending = None  # (fetch_stall_s, Future[save_s]) of the previous batch
     from nbody_gnn_hpc_tpu.utils.watchdog import maybe_watchdog
 
@@ -190,6 +194,12 @@ def main():
                                      dispatch(work[next_dispatch])))
                 next_dispatch += 1
             todo, device_traj = inflight.pop(0)
+            # If the previous batch's write already finished, harvest it now
+            # — a save failure then surfaces BEFORE this batch's ~26s
+            # readback is paid, one batch earlier than the post-fetch check.
+            if pending is not None and pending[1].done():
+                prev, pending = pending, None
+                batch_stats.append((prev[0], prev[1].result()))
             t0 = _time.perf_counter()
             with timer.stage("fetch"):
                 traj = fetch_host_trajectory(device_traj)

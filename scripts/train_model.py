@@ -39,6 +39,32 @@ CONFIG_FLAGS = (
 )
 
 
+def remaining_epochs_auto(budget: int, current_epoch: int,
+                          model_dir: Path) -> int:
+    """Epochs left for ``--resume auto`` crash recovery.
+
+    A run that legitimately finished EARLY (early stopping at epoch <
+    budget) stamps ``completed: true`` into training_history.json
+    (Trainer._save_history); without consulting it, a rerun after an
+    outage in a LATER pipeline stage would burn up to
+    ``budget - current_epoch`` TPU epochs retraining a finished model
+    (advisor r4). Treat a stamped run as 0 remaining."""
+    remaining = max(0, budget - current_epoch)
+    if remaining == 0:
+        return 0
+    hist_path = Path(model_dir) / "training_history.json"
+    try:
+        with open(hist_path) as f:
+            completed = bool(json.load(f).get("completed", False))
+    except (OSError, ValueError):
+        completed = False
+    if completed:
+        print(f"  --resume auto: previous run already completed "
+              f"(early-stopped at epoch {current_epoch}) — nothing to do")
+        return 0
+    return remaining
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="Train N-Body GNN Model")
     for flag, short, typ in CONFIG_FLAGS:
@@ -232,7 +258,8 @@ def main():
         if args.resume == "auto":
             # Crash recovery continues to the SAME total budget; explicit
             # --resume CKPT keeps its train-N-more semantics for fine-tuning.
-            n_epochs = max(0, config.epochs - trainer.current_epoch)
+            n_epochs = remaining_epochs_auto(config.epochs,
+                                             trainer.current_epoch, model_dir)
             print(f"  Remaining:     {n_epochs} of {config.epochs} epochs")
 
     print("\nStarting training...")

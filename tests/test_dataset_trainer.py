@@ -122,6 +122,13 @@ def test_training_decreases_loss(tiny_trainer):
     with open(model_dir / "training_history.json") as f:
         saved = json.load(f)
     assert saved["train_loss"] == history["train_loss"]
+    # Completed-run marker (advisor r4): stamped in the JSON only — never
+    # in the in-memory history, so mid-run checkpoints (which embed the
+    # history) can't carry a stale one.
+    assert saved["completed"] is True
+    assert "completed" not in history
+    ckpt = load_checkpoint(model_dir / "final_model.pt")
+    assert "completed" not in (ckpt.get("history") or {})
     # LR of epoch 0 is the base LR.
     assert history["learning_rate"][0] == pytest.approx(5e-4)
 

@@ -28,11 +28,13 @@ def test_merge_preserves_unmeasured_sections(tmp_path):
                               "backend": "tpu"}, out)
     on_disk = json.loads(out.read_text())
     assert merged == on_disk
-    # measured key overwritten, unmeasured section preserved
-    assert on_disk["gnn_rollout_394steps"] == {"seconds": 0.2}
+    # measured key overwritten + freshness-stamped, unmeasured preserved
+    assert on_disk["gnn_rollout_394steps"]["seconds"] == 0.2
+    assert "measured_at" in on_disk["gnn_rollout_394steps"]
     assert on_disk["serving_394step_protocol"] == {
-        "microbatch8_final_only": 5.27}
+        "microbatch8_final_only": 5.27}  # untouched: no stamp injected
     assert on_disk["backend"] == "tpu"
+    assert not (tmp_path / "results.json.tmp").exists()  # atomic write
 
 
 def test_merge_tolerates_missing_and_corrupt_file(tmp_path):
