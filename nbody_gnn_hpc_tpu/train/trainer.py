@@ -326,6 +326,7 @@ class Trainer:
         self._watchdog = maybe_watchdog(watchdog_s,
                                         what="training-epoch progress")
         patience_counter = 0
+        stopped_early = False
         # Resumed runs continue the global epoch numbering (load_model
         # restores current_epoch; the optimizer's step-count schedule already
         # continues correctly — this keeps the displayed/recorded LR in sync).
@@ -373,6 +374,7 @@ class Trainer:
 
                 if patience_counter >= early_stopping_patience:
                     print(f"\nEarly stopping at epoch {self.current_epoch}")
+                    stopped_early = True
                     break
 
                 if (epoch + 1) % save_every == 0:
@@ -384,7 +386,7 @@ class Trainer:
             # a mid-epoch one, so the watchdog stays armed until they are
             # durable.
             self.save_model("final_model.pt")
-            self._save_history(completed=True)
+            self._save_history(completed=True, early_stopped=stopped_early)
             if self._orbax is not None:
                 self._orbax.wait()  # async writes must be durable at exit
         finally:
@@ -508,14 +510,20 @@ class Trainer:
         sched = ckpt.get("scheduler_state_dict") or {}
         self.current_epoch = int(sched.get("epoch", 0))
 
-    def _save_history(self, completed: bool = False) -> None:
-        """Persist the history; ``completed=True`` additionally stamps a
-        marker so ``train_model.py --resume auto`` can tell an early-stopped
-        run (0 remaining epochs) from a crashed one. The marker lives ONLY
-        in the JSON file — never in ``self.history`` — so checkpoints saved
-        mid-run (which embed the history) can never carry a stale one."""
+    def _save_history(self, completed: bool = False,
+                      early_stopped: bool = False) -> None:
+        """Persist the history; ``completed=True`` additionally stamps
+        markers so ``train_model.py --resume auto`` can tell an
+        EARLY-STOPPED run (patience fired before the budget — 0 remaining
+        epochs; retraining past patience is pure waste) from a crashed one
+        (no marker) and from a budget-completed one (``completed`` without
+        ``early_stopped`` — extendable to a larger ``--epochs``). Markers
+        live ONLY in the JSON file — never in ``self.history`` — so
+        checkpoints saved mid-run (which embed the history) can never carry
+        a stale one."""
         payload = dict(self.history)
         if completed:
             payload["completed"] = True
+            payload["early_stopped"] = bool(early_stopped)
         with open(self.model_dir / "training_history.json", "w") as f:
             json.dump(payload, f, indent=2)

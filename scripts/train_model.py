@@ -43,24 +43,25 @@ def remaining_epochs_auto(budget: int, current_epoch: int,
                           model_dir: Path) -> int:
     """Epochs left for ``--resume auto`` crash recovery.
 
-    A run that legitimately finished EARLY (early stopping at epoch <
-    budget) stamps ``completed: true`` into training_history.json
+    A run that legitimately finished EARLY (patience fired at epoch <
+    budget) stamps ``early_stopped: true`` into training_history.json
     (Trainer._save_history); without consulting it, a rerun after an
     outage in a LATER pipeline stage would burn up to
     ``budget - current_epoch`` TPU epochs retraining a finished model
-    (advisor r4). Treat a stamped run as 0 remaining."""
+    (advisor r4). A budget-completed run (``completed`` without
+    ``early_stopped``) stays extendable to a larger ``--epochs``."""
     remaining = max(0, budget - current_epoch)
     if remaining == 0:
         return 0
     hist_path = Path(model_dir) / "training_history.json"
     try:
         with open(hist_path) as f:
-            completed = bool(json.load(f).get("completed", False))
+            early_stopped = bool(json.load(f).get("early_stopped", False))
     except (OSError, ValueError):
-        completed = False
-    if completed:
-        print(f"  --resume auto: previous run already completed "
-              f"(early-stopped at epoch {current_epoch}) — nothing to do")
+        early_stopped = False
+    if early_stopped:
+        print(f"  --resume auto: previous run finished by early stopping "
+              f"at epoch {current_epoch} — nothing to retrain")
         return 0
     return remaining
 

@@ -18,28 +18,33 @@ def _load_train_model():
     return mod
 
 
-def test_remaining_epochs_auto_completed_marker(tmp_path):
-    """--resume auto must treat a legitimately early-stopped run (completed
-    marker in training_history.json) as 0 remaining epochs; a crashed run
-    (no marker / corrupt file) keeps its same-total-budget remainder."""
+def test_remaining_epochs_auto_early_stop_marker(tmp_path):
+    """--resume auto must treat a legitimately early-stopped run
+    (early_stopped marker in training_history.json) as 0 remaining epochs;
+    a crashed run (no marker / corrupt file) keeps its same-total-budget
+    remainder, and a budget-completed run stays extendable to a larger
+    --epochs (the documented fine-tune-by-resume pattern)."""
     mod = _load_train_model()
     hist = tmp_path / "training_history.json"
 
     # Crashed run: no history file yet -> continue to the same budget.
     assert mod.remaining_epochs_auto(200, 62, tmp_path) == 138
     # Early-stopped run: marker -> nothing left to train.
-    hist.write_text(json.dumps({"train_loss": [1.0], "completed": True}))
+    hist.write_text(json.dumps({"train_loss": [1.0], "completed": True,
+                                "early_stopped": True}))
     assert mod.remaining_epochs_auto(200, 62, tmp_path) == 0
-    # Explicit false / absent marker -> crash semantics.
-    hist.write_text(json.dumps({"train_loss": [1.0], "completed": False}))
+    # Budget-completed run resumed with a LARGER budget: extendable.
+    hist.write_text(json.dumps({"train_loss": [1.0], "completed": True,
+                                "early_stopped": False}))
     assert mod.remaining_epochs_auto(200, 62, tmp_path) == 138
+    # Absent marker (pre-marker history) -> crash semantics.
     hist.write_text(json.dumps({"train_loss": [1.0]}))
     assert mod.remaining_epochs_auto(200, 62, tmp_path) == 138
     # Corrupt history must not crash recovery.
     hist.write_text("{not json")
     assert mod.remaining_epochs_auto(200, 62, tmp_path) == 138
     # At/over budget: 0 regardless of marker.
-    hist.write_text(json.dumps({"completed": True}))
+    hist.write_text(json.dumps({"completed": True, "early_stopped": True}))
     assert mod.remaining_epochs_auto(200, 200, tmp_path) == 0
     assert mod.remaining_epochs_auto(200, 250, tmp_path) == 0
 

@@ -122,10 +122,12 @@ def test_training_decreases_loss(tiny_trainer):
     with open(model_dir / "training_history.json") as f:
         saved = json.load(f)
     assert saved["train_loss"] == history["train_loss"]
-    # Completed-run marker (advisor r4): stamped in the JSON only — never
+    # Completed-run markers (advisor r4): stamped in the JSON only — never
     # in the in-memory history, so mid-run checkpoints (which embed the
-    # history) can't carry a stale one.
+    # history) can't carry a stale one. This run exhausted its budget
+    # without tripping patience -> completed but NOT early_stopped.
     assert saved["completed"] is True
+    assert saved["early_stopped"] is False
     assert "completed" not in history
     ckpt = load_checkpoint(model_dir / "final_model.pt")
     assert "completed" not in (ckpt.get("history") or {})
