@@ -62,6 +62,7 @@ def _toy_problem(rng, n=6, b=8):
         common
 
 
+@pytest.mark.slow  # fast-mode budget (r5): certified variants of equalities a fast sibling still pins
 def test_hybrid_gspmd_dp_matches_single_device(rng):
     model, tx, edges, params, opt_state, s, t, common = _toy_problem(rng)
     key = jax.random.PRNGKey(7)
@@ -80,6 +81,7 @@ def test_hybrid_gspmd_dp_matches_single_device(rng):
                                    atol=1e-6)
 
 
+@pytest.mark.slow  # fast-mode budget (r5): certified variants of equalities a fast sibling still pins
 def test_hybrid_shard_map_dp_matches_single_device(rng):
     from nbody_gnn_hpc_tpu.train.steps import make_train_step
 

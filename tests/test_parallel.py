@@ -116,6 +116,7 @@ def test_dp_train_step_runs_multiple_steps(rng):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow  # fast-mode budget (r5): certified variants of equalities a fast sibling still pins
 def test_shard_map_dp_matches_gspmd(rng):
     """impl='shard_map' (per-device local steps + grad pmean) matches the
     GSPMD formulation and the single-device step when deterministic, for

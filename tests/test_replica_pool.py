@@ -44,6 +44,7 @@ def _system(seed=0):
             rng.uniform(1e10, 1e12, N).astype(np.float32))
 
 
+@pytest.mark.slow  # fast-mode budget (r5): certified variants of equalities a fast sibling still pins
 def test_pool_matches_single_service(ckpt_paths):
     """Every endpoint through the pool equals the single-service result
     exactly (replicas are the same program on identical devices)."""

@@ -31,6 +31,7 @@ def make_trainer(ds_path, tmp, mesh):
                    model_dir=str(tmp), batch_size=16, seed=0, mesh=mesh)
 
 
+@pytest.mark.slow  # fast-mode budget (r5): certified variants of equalities a fast sibling still pins
 def test_mesh_epoch_matches_single_device(ds, tmp_path):
     t1 = make_trainer(ds, tmp_path / "a", mesh=None)
     t8 = make_trainer(ds, tmp_path / "b", mesh=make_mesh(8))
@@ -45,6 +46,7 @@ def test_mesh_epoch_matches_single_device(ds, tmp_path):
                                    atol=1e-6)
 
 
+@pytest.mark.slow  # fast-mode budget (r5): certified variants of equalities a fast sibling still pins
 def test_mesh_trainer_multiple_epochs(ds, tmp_path):
     t = make_trainer(ds, tmp_path / "c", mesh=make_mesh(4))
     losses = [t.train_epoch() for _ in range(3)]
