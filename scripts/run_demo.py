@@ -16,23 +16,23 @@ Usage:
                                [--watchdog SECONDS]
                                [--f64-ground-truth]
                                [--rollout-select] [--finetune-rollout]
+                               [--no-finetune-rollout]
 
 ``--production`` is the measured-best recipe in ONE switch (RESULTS.md):
 manifest datagen + lzf (124 s vs 657 s), a 60-epoch budget, the f64
-published-number evaluation oracle, and — the load-bearing part —
-rollout-aware checkpoint selection ON BY DEFAULT. Selection is default here
-because best-val selection is a measured lottery (one fresh production run:
-580.7 posRMSE best-val vs 93.4 with full-horizon selection from the SAME
-checkpoints, ~2 min extra, zero extra training — RESULTS.md). This is a
-deliberate deviation from the reference protocol (best-val save,
-/root/reference/src/ai/train.py:519-528, evaluated as-is by
-/root/reference/scripts/evaluate.py:50-63), documented in PARITY.md; the
-bare reference protocol remains the no-flag default and is nameable
-explicitly as ``--reference-protocol``.
-
-The remaining additive flags compose with either mode (e.g.
-``--production --finetune-rollout`` adds the measured two-rung K-step
-fine-tune, 36.0 posRMSE on the same run).
+published-number evaluation oracle, rollout-aware checkpoint selection,
+and the two-rung rollout fine-tune. Selection is default because best-val
+selection is a measured lottery (one fresh production run: 580.7 posRMSE
+best-val vs 93.4 with full-horizon selection from the SAME checkpoints,
+~2 min extra, zero extra training — RESULTS.md). Fine-tune is default
+since round 5 on the same standard of evidence: one fresh end-to-end
+``--production --finetune-rollout`` session measured +9.0 min (12% of the
+73-min pipeline) for 93.35 -> 33.54 posRMSE — 2.8x, f64 protocol; opt out
+with ``--no-finetune-rollout``. Both are deliberate deviations from the
+reference protocol (best-val save, /root/reference/src/ai/train.py:519-528,
+evaluated as-is by /root/reference/scripts/evaluate.py:50-63), documented
+in PARITY.md; the bare reference protocol remains the no-flag default and
+is nameable explicitly as ``--reference-protocol``.
 """
 
 import argparse
@@ -272,6 +272,13 @@ def resolve_mode(args: argparse.Namespace) -> argparse.Namespace:
             "Error: --watchdog must be positive (or 0 to disable)")
     if args.production:
         args.rollout_select = True
+        if not args.no_finetune_rollout:
+            # Promoted to a production default in round 5 on measurement:
+            # one fresh end-to-end session priced the two-rung fine-tune at
+            # +9.0 min (12% of the 73-min pipeline) for 93.35 -> 33.54
+            # posRMSE (2.8x, f64 protocol) — RESULTS.md. Opt out with
+            # --no-finetune-rollout to evaluate the selected checkpoint.
+            args.finetune_rollout = True
         args.no_windows = True
         args.f64_ground_truth = True
         if args.compression is None:
@@ -304,10 +311,16 @@ def main() -> None:
     parser.add_argument("--production", action="store_true",
                         help="Measured-best recipe in one switch: manifest "
                              "datagen + lzf, 60-epoch budget, f64 oracle, "
-                             "and rollout-aware checkpoint selection ON "
-                             "(best-val selection is a measured 6x lottery "
-                             "— RESULTS.md). Composable with "
-                             "--finetune-rollout")
+                             "rollout-aware checkpoint selection (best-val "
+                             "selection is a measured 6x lottery) AND the "
+                             "two-rung rollout fine-tune (+9 min measured "
+                             "for 2.8x posRMSE — RESULTS.md). Opt out of "
+                             "the fine-tune with --no-finetune-rollout")
+    parser.add_argument("--no-finetune-rollout", action="store_true",
+                        help="Under --production: skip the rollout "
+                             "fine-tune stage and evaluate the selected "
+                             "checkpoint instead (93.35 vs 33.54 posRMSE "
+                             "measured; saves ~9 min). No-op otherwise")
     parser.add_argument("--reference-protocol", action="store_true",
                         help="Explicitly name the bare reference protocol "
                              "(the no-flag default): best-val checkpoint "
@@ -357,10 +370,11 @@ def main() -> None:
     parser.add_argument("--finetune-rollout", action="store_true",
                         help="After training, fine-tune with the measured "
                              "two-rung K-step unrolled curriculum "
-                             "(scripts/finetune_rollout.py; ~25 min on one "
-                             "chip) and evaluate best_rollout_model.pt — "
-                             "takes precedence over --rollout-select at "
-                             "evaluation")
+                             "(scripts/finetune_rollout.py; 9 min measured "
+                             "in a fresh warm-cache session, ~25 min cold) "
+                             "and evaluate best_rollout_model.pt — takes "
+                             "precedence over --rollout-select at "
+                             "evaluation. ON by default under --production")
     args = resolve_mode(parser.parse_args())
 
     cfg = TrainingConfig()

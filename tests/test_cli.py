@@ -308,32 +308,36 @@ def test_run_demo_production_mode_wiring():
             skip_datagen=False, no_clean=False, max_samples=None,
             epochs=None, no_windows=False, compression=None,
             f64_ground_truth=False, rollout_select=False,
-            finetune_rollout=False, resume=False, watchdog=None)
+            finetune_rollout=False, no_finetune_rollout=False,
+            resume=False, watchdog=None)
         for flag in argv:
             setattr(ns, flag.lstrip("-").replace("-", "_"), True)
         return demo.resolve_mode(ns)
 
     cfg = demo.TrainingConfig()
 
-    # Production: selection stage active, evaluation uses the promoted model.
+    # Production: selection + fine-tune active (round-5 default: +9.0 min
+    # measured for 93.35 -> 33.54 posRMSE), fine-tune FROM the selection
+    # winner, evaluation on the fine-tuned model.
     args = parse(["--production"])
     assert args.rollout_select and args.no_windows and args.f64_ground_truth
+    assert args.finetune_rollout
     assert args.compression == "lzf"
     assert args.epochs == demo.PRODUCTION_EPOCHS
     select_stage = next(s for s in demo.PIPELINE if "Selecting" in s.title)
     assert select_stage.skip(args) is None  # not skipped
+    ft_argv = demo._finetune_argv(args, cfg)
+    assert "./models/selected_model.pt" in ft_argv
     eval_argv = demo._evaluate_argv(args, cfg)
-    assert "./models/selected_model.pt" in eval_argv
+    assert "./models/best_rollout_model.pt" in eval_argv
     assert "--f64-ground-truth" in eval_argv
     assert "--no-windows" in demo._datagen_argv(args, cfg)
     assert "lzf" in demo._datagen_argv(args, cfg)
 
-    # Composition: --production --finetune-rollout fine-tunes FROM the
-    # selection winner and evaluates the fine-tuned model.
-    args = parse(["--production", "--finetune-rollout"])
-    ft_argv = demo._finetune_argv(args, cfg)
-    assert "./models/selected_model.pt" in ft_argv
-    assert "./models/best_rollout_model.pt" in demo._evaluate_argv(args, cfg)
+    # Opt-out: --no-finetune-rollout evaluates the selected checkpoint.
+    args = parse(["--production", "--no-finetune-rollout"])
+    assert args.rollout_select and not args.finetune_rollout
+    assert "./models/selected_model.pt" in demo._evaluate_argv(args, cfg)
 
     # Bare default = reference protocol: selection skipped, best_model used.
     args = parse([])

@@ -30,6 +30,7 @@ def _args(**overrides):
                     max_samples=None, epochs=None, no_windows=False,
                     compression="gzip", f64_ground_truth=False,
                     rollout_select=False, finetune_rollout=False,
+                    no_finetune_rollout=False,
                     resume=False, watchdog=None,
                     production=False, reference_protocol=False)
     defaults.update(overrides)
@@ -56,6 +57,29 @@ def test_finetune_stage_skipped_by_default():
     stage = rd.PIPELINE[3]
     assert stage.skip(_args()) is not None
     assert stage.skip(_args(finetune_rollout=True)) is None
+
+
+def test_production_implies_selection_and_finetune():
+    """--production = selection + fine-tune by default (round-5 decision:
+    +9.0 min measured for 93.35 -> 33.54 posRMSE in one fresh session),
+    with --no-finetune-rollout as the explicit opt-out. The bare/
+    reference-protocol default keeps both OFF."""
+    prod = rd.resolve_mode(_args(production=True))
+    assert prod.rollout_select is True
+    assert prod.finetune_rollout is True
+    assert rd.PIPELINE[3].skip(prod) is None
+    # Opt-out: selection stays, fine-tune skips, evaluate scores the
+    # selected checkpoint.
+    opt = rd.resolve_mode(_args(production=True, no_finetune_rollout=True))
+    assert opt.rollout_select is True
+    assert opt.finetune_rollout is False
+    assert rd.PIPELINE[3].skip(opt) is not None
+    cfg = rd.TrainingConfig()
+    argv = rd._evaluate_argv(opt, cfg)
+    assert argv[argv.index("-m") + 1] == "./models/selected_model.pt"
+    # Outside --production the opt-out is a no-op and both stay off.
+    bare = rd.resolve_mode(_args(no_finetune_rollout=True))
+    assert bare.finetune_rollout is False and bare.rollout_select is False
 
 
 def test_finetune_argv_uses_measured_curriculum():
