@@ -32,6 +32,10 @@ Checks:
                             a BH-regime (N=4096) rollout through it
  15. replica warm path    — build_replica_pool + warmup + dispatch on the
                             attached device (the serving DP path)
+ 16. large-N surrogate    — the production-architecture GNN (2,550,150
+                            params) at N=5000: blocked k-NN edge build +
+                            forward + short scan rollout on-chip; pre-warms
+                            the shapes the large-N pipeline compiles
 
 Usage:
     python scripts/smoke_tpu.py            # all checks
@@ -502,6 +506,47 @@ def check_blocked_knn():
     return f"N={n} k={k} blocked == dense; 3-step rollout finite"
 
 
+@check("large-N surrogate N=5000")
+def check_large_n_surrogate():
+    """The BH-regime surrogate at the reference's benchmark scale (N=5000,
+    the scripts/benchmark_bh_temp.py regime): row-blocked k-NN edge build,
+    the PRODUCTION architecture (hidden 256, 6 layers, k=40 — 2,550,150
+    params, unlike check 14's tiny model), and a short scan rollout, all
+    on-chip.  The reference's any-N inference path is a host cKDTree +
+    forward per step (predict.py:54-91); here the whole rollout is one
+    device program.  Running this pre-warms the N=5000 Mosaic/XLA compiles
+    (fused edge kernel at E=200,000, blocked k-NN) that the large-N
+    pipeline (generate_data -> train -> evaluate at N>2048) reuses from
+    .jax_cache."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbody_gnn_hpc_tpu.models import (NBodyGNN, count_parameters,
+                                          init_model)
+    from nbody_gnn_hpc_tpu.ops.knn import KNN_DENSE_MAX
+    from nbody_gnn_hpc_tpu.predict import Predictor
+
+    rng = np.random.RandomState(11)
+    n, k = 5000, 40
+    assert n > KNN_DENSE_MAX and n % 8 == 0  # blocked k-NN + fused kernel
+    model = NBodyGNN(7, 256, 6, 6, 0.0)
+    params = init_model(model, jax.random.PRNGKey(0), n, n * k)
+    n_params = count_parameters(params)
+    assert n_params == 2_550_150, n_params
+
+    pred = Predictor(model, k_neighbors=k, params=params)
+    pred.norm_stats = {"state_mean": np.zeros(6, np.float32),
+                       "state_std": np.ones(6, np.float32)}
+    out = pred.predict_rollout(
+        rng.uniform(-20, 20, (n, 3)).astype(np.float32),
+        rng.randn(n, 3).astype(np.float32),
+        rng.uniform(1e10, 1e12, n).astype(np.float32),
+        n_steps=3)
+    assert np.isfinite(out["positions"]).all()
+    assert out["positions"].shape[-2] == n
+    return f"N={n} k={k}, production arch ({n_params:,} params), 3-step rollout finite"
+
+
 @check("replica warm path")
 def check_replica_pool():
     """Serving DP surface on the attached device: build_replica_pool +
@@ -568,6 +613,7 @@ def main():
     check_stream_chunks()
     if not args.fast:
         check_blocked_knn()
+        check_large_n_surrogate()
     check_replica_pool()
 
     n_fail = sum(1 for _, ok, _, _ in _RESULTS if not ok)
