@@ -29,6 +29,10 @@ os.environ.setdefault(
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# The package default only persists compiles >=1 s (right for the remote TPU
+# backend); test programs are mostly sub-second CPU compiles, so persist them
+# all — repeat suite runs skip recompilation (fast-mode budget, r5).
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -27,7 +27,12 @@ def clustered_system(rng, n):
     return pos, masses
 
 
-@pytest.mark.parametrize("n", [256, 2048])
+@pytest.mark.parametrize(
+    "n",
+    [256,
+     # fast-mode budget (r5): the large-N convergence sweep is slow-marked;
+     # n=256 pins the same theta->0 property in fast mode.
+     pytest.param(2048, marks=pytest.mark.slow)])
 def test_bh_converges_to_exact_as_theta_shrinks(rng, n):
     pos, m = clustered_system(rng, n)
     exact = accelerations_f64(pos, m)

@@ -229,6 +229,8 @@ def test_no_windows_pipeline(workdir):
     assert (workdir / "models_nw/final_model.pt").exists()
 
 
+@pytest.mark.slow  # fast-mode budget (r5): spawns a subprocess server; the
+# serve surface keeps 30+ fast in-process tests (tests/test_serve.py).
 def test_serve_cli_sigterm_graceful_shutdown(tmp_path):
     """scripts/serve.py exits cleanly on SIGTERM (how a supervisor stops
     it), after actually serving a request."""

@@ -140,6 +140,9 @@ def test_two_body_circular_orbit():
     np.testing.assert_allclose(acc[1], [-a_expected, 0, 0], rtol=1e-5)
 
 
+@pytest.mark.slow  # fast-mode budget (r5): the 5-residue sweep is slow-marked;
+# test_blocked_potential_energy_batched_and_dispatch keeps the blocked path
+# (batching + dispatch) pinned in fast mode.
 def test_blocked_potential_energy_matches_dense():
     """The row-blocked large-N PE (sim/energy.py) must agree with the dense
     formulation — exercised across padding residues (N % PE_BLOCK) and with

@@ -55,6 +55,9 @@ def test_forward_matches_xla_branch():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow  # fast-mode budget (r5): interpret-mode grad tracing is the
+# cost; fast siblings keep forward equality (test_forward_matches_xla_branch)
+# and fused grad consistency (test_fused_with_remat) pinned.
 def test_grads_match_xla_branch():
     x, pos, edges = _setup(3)
     xla_m, fused_m = _models()
@@ -121,9 +124,7 @@ def test_fused_rejects_non_row_regular_counts():
                          k=4, deterministic=True, interpret=True)
 
 
-def test_fused_odd_n_pads_transparently():
-    """N not divisible by 8 (e.g. the CLI-default 500 particles) pads nodes
-    + dummy edges internally; results and grads match the XLA branch."""
+def _odd_n_setup():
     n, k = 10, 3
     rng = np.random.RandomState(4)
     x = jnp.asarray(rng.randn(n, 7), jnp.float32)
@@ -134,12 +135,26 @@ def test_fused_odd_n_pads_transparently():
     xla_m = NBodyGNN(edge_impl="xla", **kw)
     fused_m = NBodyGNN(edge_impl="fused", **kw)
     params = init_model(xla_m, jax.random.PRNGKey(1), n, n * k)
+    return x, pos, edges, xla_m, fused_m, params
+
+
+def test_fused_odd_n_pads_transparently():
+    """N not divisible by 8 (e.g. the CLI-default 500 particles) pads nodes
+    + dummy edges internally; forward results match the XLA branch (grads:
+    test_fused_odd_n_grads below, slow-marked)."""
+    x, pos, edges, xla_m, fused_m, params = _odd_n_setup()
     out_x = xla_m.apply({"params": params}, x, edges, pos,
                         deterministic=True)
     out_f = fused_m.apply({"params": params}, x, edges, pos,
                           deterministic=True)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow  # fast-mode budget (r5): interpret-mode grad tracing; the
+# forward half of the odd-N padding property stays fast above.
+def test_fused_odd_n_grads():
+    x, pos, edges, xla_m, fused_m, params = _odd_n_setup()
 
     def loss(m, p):
         return jnp.sum(m.apply({"params": p}, x, edges, pos,

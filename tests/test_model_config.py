@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nbody_gnn_hpc_tpu.models import (count_parameters, init_model,
                                       model_from_config)
@@ -44,6 +45,8 @@ def test_bf16_and_f32_share_checkpoints(rng):
     np.testing.assert_array_equal(np.asarray(out32), np.asarray(x[:, :6]))
 
 
+@pytest.mark.slow  # fast-mode budget (r5): inits the model at three dtypes;
+# test_bf16_and_f32_share_checkpoints keeps dtype/checkpoint parity fast.
 def test_param_count_independent_of_dtype():
     cfg = dict(CFG, hidden_dim=256, n_layers=6)
     m = model_from_config(cfg)

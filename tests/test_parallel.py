@@ -59,6 +59,9 @@ def test_ensemble_matches_simulator():
                                np.asarray(t.positions), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # fast-mode budget (r5): the 8-dev==1-dev equality is also
+# certified by every dryrun_multichip run; test_gspmd_dp_pins_xla_for_fused_models
+# keeps the DP step exercised in fast mode.
 def test_dp_train_step_matches_single_device(rng):
     n, b = 6, 8
     model = NBodyGNN(node_input_dim=7, hidden_dim=8, n_layers=1, output_dim=6)

@@ -82,7 +82,12 @@ def test_bad_mode_raises():
         quantize_params({}, "fp4")
 
 
-@pytest.mark.parametrize("mode,rtol", [("bf16", 2e-2), ("int8", 5e-2)])
+@pytest.mark.parametrize(
+    "mode,rtol",
+    [  # fast-mode budget (r5): one rollout-equality mode (int8, the tighter
+       # quantization) stays fast; bf16 runs in full mode.
+     pytest.param("bf16", 2e-2, marks=pytest.mark.slow),
+     ("int8", 5e-2)])
 def test_predictor_quantized_close_to_f32(rng, mode, rtol):
     pred = _noisy_predictor(rng)
     pos, vel, masses = _inputs(rng)

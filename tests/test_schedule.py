@@ -23,6 +23,9 @@ def torch_lrs(n_epochs):
     return np.array(lrs)
 
 
+@pytest.mark.slow  # fast-mode budget (r5): the full 200-epoch torch sweep is
+# slow-marked; test_restart_boundaries + test_traced_matches_python keep the
+# warm-restart schedule pinned in fast mode.
 def test_matches_torch_over_200_epochs():
     want = torch_lrs(200)
     got = np.array([cosine_warm_restarts(e, BASE) for e in range(200)])
